@@ -1,0 +1,127 @@
+"""Synthetic datasets: deterministic, network-free, used by tests and bench.
+
+The reference has no synthetic generators (all 24 loaders download); these
+exist because (a) CI has zero egress, (b) benchmarks need size-controlled
+graphs.  ``PlantedPartition`` generates an SBM whose communities are
+recoverable by any sane SGAP model — the e2e accuracy tests assert a high
+accuracy band on it, the TPU analog of the reference's "matches published
+Planetoid numbers" validation.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from sgl_tpu.datasets.base import NodeDataset, random_split
+from sgl_tpu.graph.graph import Graph, HeteroGraph
+
+
+class PlantedPartition(NodeDataset):
+    """Stochastic block model with class-correlated Gaussian features."""
+
+    def __init__(
+        self,
+        num_nodes: int = 600,
+        num_classes: int = 4,
+        feat_dim: int = 32,
+        p_in: float = 0.05,
+        p_out: float = 0.002,
+        feature_noise: float = 2.0,
+        seed: int = 0,
+        train_ratio: float = 0.3,
+        val_ratio: float = 0.2,
+    ):
+        self._n = num_nodes
+        self._c = num_classes
+        self._d = feat_dim
+        self._p_in = p_in
+        self._p_out = p_out
+        self._noise = feature_noise
+        self._seed = seed
+        self._train_ratio = train_ratio
+        self._val_ratio = val_ratio
+        super().__init__(name=f"sbm_{num_nodes}_{seed}", use_cache=False)
+
+    def _raw_exists(self) -> bool:
+        return True
+
+    def _process(self) -> Graph:
+        rng = np.random.default_rng(self._seed)
+        n, c, d = self._n, self._c, self._d
+        y = rng.integers(0, c, n)
+        # class centroids + noise
+        centroids = rng.normal(size=(c, d)).astype(np.float32)
+        x = centroids[y] + self._noise * rng.normal(size=(n, d)).astype(np.float32)
+        # SBM edges via sparse sampling
+        same = y[:, None] == y[None, :]
+        # sample edge candidates in blocks to stay O(n^2) only for small n
+        probs = np.where(same, self._p_in, self._p_out)
+        upper = np.triu(rng.random((n, n)) < probs, k=1)
+        s, t = np.nonzero(upper)
+        src = np.concatenate([s, t]).astype(np.int32)
+        dst = np.concatenate([t, s]).astype(np.int32)
+        return Graph.from_coo(src, dst, num_nodes=n, x=x, y=y, pad_multiple=1024)
+
+    def _split(self) -> None:
+        self.train_idx, self.val_idx, self.test_idx = random_split(
+            self._n, self._train_ratio, self._val_ratio, seed=self._seed
+        )
+
+
+def random_power_law_graph(
+    num_nodes: int,
+    avg_degree: int,
+    feat_dim: int,
+    num_classes: int = 16,
+    seed: int = 0,
+    alpha: float = 1.2,
+    pad_multiple: int = 4096,
+) -> Graph:
+    """Degree-skewed random graph (Zipf-ish) for SpMM benchmarking — the
+    degree skew is what stresses row-tiling (SURVEY.md §7 hard parts)."""
+    rng = np.random.default_rng(seed)
+    e = num_nodes * avg_degree // 2
+    # preferential-attachment-like weights
+    w = (np.arange(1, num_nodes + 1, dtype=np.float64)) ** (-alpha)
+    w /= w.sum()
+    src = rng.choice(num_nodes, size=e, p=w).astype(np.int32)
+    dst = rng.integers(0, num_nodes, e).astype(np.int32)
+    keep = src != dst
+    src, dst = src[keep], dst[keep]
+    src_u = np.concatenate([src, dst])
+    dst_u = np.concatenate([dst, src])
+    x = rng.normal(size=(num_nodes, feat_dim)).astype(np.float32)
+    y = rng.integers(0, num_classes, num_nodes)
+    return Graph.from_coo(
+        src_u, dst_u, num_nodes=num_nodes, x=x, y=y, pad_multiple=pad_multiple
+    )
+
+
+def synthetic_hetero(
+    counts=None,
+    avg_degree: int = 6,
+    feat_dim: int = 16,
+    num_classes: int = 3,
+    seed: int = 0,
+):
+    """Small random heterogeneous graph (ACM-like schema) for NARS tests."""
+    rng = np.random.default_rng(seed)
+    counts = counts or {"paper": 120, "author": 80, "subject": 20}
+    schema = [
+        ("paper", "cite", "paper"),
+        ("author", "writes", "paper"),
+        ("paper", "has", "subject"),
+    ]
+    edges = {}
+    for st, rel, dt in schema:
+        e = counts[st] * avg_degree
+        edges[(st, rel, dt)] = (
+            rng.integers(0, counts[st], e),
+            rng.integers(0, counts[dt], e),
+        )
+    x_dict = {
+        t: rng.normal(size=(n, feat_dim)).astype(np.float32)
+        for t, n in counts.items()
+    }
+    y_dict = {"paper": rng.integers(0, num_classes, counts["paper"])}
+    return HeteroGraph.build(counts, edges, x_dict=x_dict, y_dict=y_dict)

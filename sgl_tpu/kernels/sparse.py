@@ -1,0 +1,106 @@
+"""Sparse adjacency × dense feature kernels (the SpMM compute core).
+
+This replaces the reference's entire native kernel family — the 12-variant
+OpenMP/AVX C kernels (``sgl/operators/csrc/matmul.c``), the cuSPARSE path
+(``csrc/cudamatmul.c``), and the ctypes bridge (``sgl/operators/utils.py:10-74``)
+— with two TPU-native backends behind one function:
+
+* ``spmm_segment``: gather + sorted ``segment_sum`` in pure XLA. Works on every
+  backend (CPU mesh tests, TPU), differentiates for free, and fuses the
+  ``w * x[src]`` multiply into the scatter-add.
+* ``spmm_pallas`` (``pallas_spmm.py``): a row-tiled block-CSR Pallas kernel for
+  the TPU hot path.
+
+Message direction: ``y[dst] += w * x[src]`` — each stored edge moves a feature
+row from its source to its destination.  Degrees/normalization are edge-weight
+transforms computed once per propagation (``graph/normalize.py``).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+_DEFAULT_BACKEND = "segment"
+
+
+def set_default_backend(name: str) -> None:
+    """Select the global default SpMM backend: 'segment' or 'pallas'."""
+    global _DEFAULT_BACKEND
+    if name not in ("segment", "pallas"):
+        raise ValueError(f"unknown spmm backend {name!r}")
+    _DEFAULT_BACKEND = name
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclasses.dataclass(frozen=True)
+class SparseAdj:
+    """A sparse matrix in padded COO form, ready for SpMM.
+
+    ``w`` already contains any normalization; padding edges carry ``w == 0``
+    and in-range indices so no masking is needed.  ``sorted_by_dst`` lets the
+    segment-sum backend claim sorted indices.
+    """
+
+    src: jnp.ndarray  # [E] int32
+    dst: jnp.ndarray  # [E] int32
+    w: jnp.ndarray  # [E] float32
+    num_nodes: int
+    sorted_by_dst: bool = False
+
+    def tree_flatten(self):
+        return (self.src, self.dst, self.w), (self.num_nodes, self.sorted_by_dst)
+
+    @classmethod
+    def tree_unflatten(cls, aux, leaves):
+        src, dst, w = leaves
+        return cls(src, dst, w, aux[0], aux[1])
+
+    @property
+    def nnz_padded(self) -> int:
+        return int(self.src.shape[0])
+
+    def transpose(self) -> "SparseAdj":
+        return SparseAdj(self.dst, self.src, self.w, self.num_nodes, False)
+
+
+def spmm_segment(adj: SparseAdj, x: jnp.ndarray) -> jnp.ndarray:
+    """``y = normalized_adj @ x`` via gather + segment_sum.
+
+    XLA lowers this to a coalesced gather of ``x`` rows, a broadcast multiply
+    by edge weights (fused), and a sorted scatter-add — all HBM-bandwidth
+    bound, which is the roofline for unstructured SpMM on any hardware.
+    """
+    gathered = jnp.take(x, adj.src, axis=0)  # [E, D]
+    msgs = gathered * adj.w[:, None].astype(x.dtype)
+    return jax.ops.segment_sum(
+        msgs,
+        adj.dst,
+        num_segments=adj.num_nodes,
+        indices_are_sorted=adj.sorted_by_dst,
+    )
+
+
+def spmm(adj: SparseAdj, x: jnp.ndarray, backend: Optional[str] = None) -> jnp.ndarray:
+    """Sparse-matrix × dense-features product, backend-dispatched."""
+    backend = backend or _DEFAULT_BACKEND
+    if backend == "segment":
+        return spmm_segment(adj, x)
+    if backend == "pallas":
+        from sgl_tpu.kernels.pallas_spmm import spmm_pallas
+
+        return spmm_pallas(adj, x)
+    raise ValueError(f"unknown spmm backend {backend!r}")
+
+
+def sddmm(adj: SparseAdj, a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """Sampled dense-dense matmul: per-edge ``<a[src], b[dst]>``.
+
+    The reference has no attention ops; this is the building block for
+    attention-style graph ops (e.g. learned edge weights) and for scoring
+    edges in link prediction without materializing ``Z @ Z^T``.
+    """
+    return jnp.sum(jnp.take(a, adj.src, axis=0) * jnp.take(b, adj.dst, axis=0), axis=-1)

@@ -1,0 +1,148 @@
+"""SGAP model composition template, TPU-native.
+
+The reference's ``BaseSGAPModel`` (``sgl/models/base_model.py:8-67``) is a
+stateful ``nn.Module`` whose ``preprocess`` caches propagated features and
+whose ``forward(idx, device)`` slices host rows and copies to device per
+step.  Here the template splits cleanly along the JAX functional boundary:
+
+* ``preprocess(graph)`` — runs the (training-free) propagation once on
+  device, caching either the eagerly aggregated features (non-learnable
+  message op) or the stacked ``(K+1, N, D)`` hop tensor (learnable op).
+  This preserves the reference's eager-vs-lazy split exactly
+  (``base_model.py:27-33``) — SURVEY.md flags it as accuracy-critical.
+* ``net`` — a Flax module (learnable msg op + base net) whose params are
+  owned by the task's train state, applied inside one jitted step.
+* ``batch_input(idx)`` — pure slicing of cached device arrays; inside a
+  jitted step this is a device-side gather, not a host copy.
+* ``postprocess(graph, logits)`` — softmax → propagate → aggregate
+  (``base_model.py:38-50``), run on device (the reference forces CPU numpy).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from sgl_tpu.graph.graph import Graph
+from sgl_tpu.ops.graph_ops import GraphOp
+from sgl_tpu.ops.message_ops import LEARNABLE_AGGR_TYPES, MessageOp
+
+
+class SGAPNet(nn.Module):
+    """The trainable stage-2 network: (learnable msg op ∘) base model."""
+
+    msg_op: Optional[MessageOp]  # None when aggregation was eager
+    base_model: nn.Module
+
+    @nn.compact
+    def __call__(self, feats, train: bool = False):
+        h = feats
+        if self.msg_op is not None:
+            # only learnable message ops live inside the net; all take `train`
+            h = self.msg_op(h, train=train)
+        return _apply_base(self.base_model, h, train)
+
+
+def _apply_base(base: nn.Module, h, train: bool):
+    import inspect
+
+    sig = inspect.signature(type(base).__call__)
+    if "train" in sig.parameters:
+        return base(h, train=train)
+    return base(h)
+
+
+def eager_aggregate(op: MessageOp, hops: jnp.ndarray) -> jnp.ndarray:
+    """Apply a parameter-free message op outside a param context."""
+    return op.apply({}, hops)
+
+
+class SGAPModel:
+    """Composable SGAP model: pre graph-op, pre message-op, base net,
+    optional post graph-op + message-op."""
+
+    def __init__(
+        self,
+        prop_steps: int,
+        feat_dim: int,
+        output_dim: int,
+        *,
+        pre_graph_op: Optional[GraphOp] = None,
+        pre_msg_op: Optional[MessageOp] = None,
+        base_model: Optional[nn.Module] = None,
+        post_graph_op: Optional[GraphOp] = None,
+        post_msg_op: Optional[MessageOp] = None,
+    ):
+        self.prop_steps = prop_steps
+        self.feat_dim = feat_dim
+        self.output_dim = output_dim
+        self.pre_graph_op = pre_graph_op
+        self.pre_msg_op = pre_msg_op
+        self.base_model = base_model
+        self.post_graph_op = post_graph_op
+        self.post_msg_op = post_msg_op
+
+        self.pre_msg_learnable: bool = bool(
+            pre_msg_op is not None and pre_msg_op.aggr_type in LEARNABLE_AGGR_TYPES
+        )
+        self.processed_feature: Optional[jnp.ndarray] = None  # (N,D') or (K+1,N,D)
+
+    # -- stage 1: pre-propagation (training-free) --------------------------
+    def preprocess(self, graph: Graph, x=None) -> None:
+        if x is None:
+            x = graph.x
+        if self.pre_graph_op is not None:
+            hops = self.pre_graph_op.propagate(graph, x)
+            if self.pre_msg_learnable:
+                self.processed_feature = hops
+            else:
+                self.processed_feature = eager_aggregate(self.pre_msg_op, hops)
+        else:
+            self.pre_msg_learnable = False
+            self.processed_feature = jnp.asarray(x, jnp.float32)
+
+    # -- stage 2: training network -----------------------------------------
+    @property
+    def net(self) -> SGAPNet:
+        return SGAPNet(
+            msg_op=self.pre_msg_op if self.pre_msg_learnable else None,
+            base_model=self.base_model,
+        )
+
+    def batch_input(self, idx) -> jnp.ndarray:
+        """Slice cached features for a node-index batch (device gather)."""
+        if self.processed_feature is None:
+            raise RuntimeError("call preprocess() before training")
+        if self.pre_msg_learnable:
+            return jnp.take(self.processed_feature, idx, axis=1)
+        return jnp.take(self.processed_feature, idx, axis=0)
+
+    def init(self, rng: jax.Array, example_idx=None) -> Any:
+        if example_idx is None:
+            example_idx = jnp.arange(min(2, self._num_cached_nodes()))
+        feats = self.batch_input(example_idx)
+        return self.net.init(rng, feats, train=False)
+
+    def apply(self, params, idx, train: bool = False, rngs=None) -> jnp.ndarray:
+        feats = self.batch_input(idx)
+        return self.net.apply(params, feats, train=train, rngs=rngs)
+
+    def _num_cached_nodes(self) -> int:
+        pf = self.processed_feature
+        return int(pf.shape[1] if self.pre_msg_learnable else pf.shape[0])
+
+    # -- stage 3: post-propagation (training-free) --------------------------
+    def postprocess(self, graph: Graph, logits: jnp.ndarray) -> jnp.ndarray:
+        if self.post_graph_op is None:
+            return logits
+        if self.post_msg_op.aggr_type in LEARNABLE_AGGR_TYPES:
+            raise ValueError(
+                "Learnable weighted message operator is not supported in the "
+                "post-processing phase!"
+            )
+        probs = jax.nn.softmax(logits, axis=1)
+        hops = self.post_graph_op.propagate(graph, probs)
+        return eager_aggregate(self.post_msg_op, hops)

@@ -1,0 +1,88 @@
+"""Graph ops: k-hop propagation as a scan of SpMMs.
+
+The reference's ``GraphOp.propagate`` (``sgl/operators/base_op.py:19-36``)
+returns a Python list of torch tensors, one ctypes C-kernel call per hop.
+Here propagation is one jitted function: normalize once, ``lax.scan`` the
+SpMM, return a single stacked ``(K+1, N, D)`` array — which is what lets
+every message op downstream be a fused XLA reduction instead of a list walk.
+Gradients never flow through propagation (SGAP pre-compute is training-free),
+so the result is stop-gradient'd.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from sgl_tpu.graph.graph import Graph
+from sgl_tpu.graph.normalize import ppr_weights, symmetric_normalized_weights
+from sgl_tpu.kernels.sparse import SparseAdj, spmm
+
+
+@functools.partial(jax.jit, static_argnames=("prop_steps", "backend"))
+def k_hop_propagate(
+    adj: SparseAdj,
+    x: jnp.ndarray,
+    prop_steps: int,
+    backend: Optional[str] = None,
+) -> jnp.ndarray:
+    """``[X, AX, A²X, …]`` stacked as ``(prop_steps+1, N, D)``."""
+
+    def step(h, _):
+        h_next = spmm(adj, h, backend=backend)
+        return h_next, h_next
+
+    _, hops = jax.lax.scan(step, x, None, length=prop_steps)
+    out = jnp.concatenate([x[None], hops], axis=0)
+    return jax.lax.stop_gradient(out)
+
+
+class GraphOp:
+    """Propagation operator: builds a normalized ``SparseAdj`` from a
+    ``Graph`` and runs the k-hop scan."""
+
+    def __init__(self, prop_steps: int):
+        self.prop_steps = prop_steps
+
+    def construct_adj(self, graph: Graph) -> SparseAdj:
+        raise NotImplementedError
+
+    def propagate(
+        self, graph: Graph, x, backend: Optional[str] = None
+    ) -> jnp.ndarray:
+        if graph.num_nodes != jnp.shape(x)[0]:
+            raise ValueError(
+                "Dimension mismatch detected for the adjacency and the feature matrix!"
+            )
+        adj = self.construct_adj(graph)
+        return k_hop_propagate(
+            adj, jnp.asarray(x, jnp.float32), self.prop_steps, backend=backend
+        )
+
+
+class LaplacianGraphOp(GraphOp):
+    """Generalized symmetric normalization ``D^{r-1} Â D^{-r}``
+    (reference ``graph_op/laplacian_graph_op.py:7-19``; r=0.5 = GCN)."""
+
+    def __init__(self, prop_steps: int, r: float = 0.5):
+        super().__init__(prop_steps)
+        self.r = r
+
+    def construct_adj(self, graph: Graph) -> SparseAdj:
+        return symmetric_normalized_weights(graph, r=self.r)
+
+
+class PprGraphOp(GraphOp):
+    """Personalized-PageRank transition ``(1-α)Ā + αI``
+    (reference ``graph_op/ppr_graph_op.py:7-21``; APPNP-style)."""
+
+    def __init__(self, prop_steps: int, r: float = 0.5, alpha: float = 0.15):
+        super().__init__(prop_steps)
+        self.r = r
+        self.alpha = alpha
+
+    def construct_adj(self, graph: Graph) -> SparseAdj:
+        return ppr_weights(graph, r=self.r, alpha=self.alpha)

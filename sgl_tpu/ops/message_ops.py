@@ -1,0 +1,259 @@
+"""Message ops: hop aggregation over the stacked ``(K+1, B, D)`` tensor.
+
+Parity with the reference's 11-op family (``sgl/operators/message_op/``),
+re-designed as Flax modules over one stacked hop tensor so every aggregation
+is a single fused XLA reduction/einsum:
+
+* the reference's per-node Python loop in the NAFS op
+  (``over_smooth_distance_op.py:26-31``) becomes one einsum;
+* ``one_dim_weighted_add`` / ``two_dim_weighted_add``
+  (``operators/utils.py:91-116``) become tensordot/einsum;
+* hop slicing ``[start:end)`` is static so XLA sees fixed shapes.
+
+All ops are ``nn.Module`` (non-learnable ones just have no params) so the
+SGAP model composes them into one parameter tree.  ``aggr_type`` tags drive
+the eager-vs-lazy aggregation split exactly as in the reference
+(``models/base_model.py:27-33``).
+
+Deviation (documented): the reference's ``ori_ref``/``jk`` weighted ops
+reshape gate outputs with ``.view(-1, K)`` (``learnable_weighted_messahe_op.py:78,86``),
+which scrambles the (hop, node) axes — the learned gate is applied under a
+fixed permutation.  We implement the intended per-node hop attention
+(as in the GAMLP paper and the op's own ``gate`` branch at ``:71``).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import jax.numpy as jnp
+from flax import linen as nn
+from jax.nn.initializers import normal
+
+from sgl_tpu.models.blocks import MultiLayerPerceptron
+
+LEARNABLE_AGGR_TYPES = frozenset(
+    {"proj_concat", "learnable_weighted", "iterate_learnable_weighted"}
+)
+
+
+class MessageOp(nn.Module):
+    """Base: slices hops ``[start:end)`` then combines. Subclasses set
+    ``aggr_type`` as a class attribute."""
+
+    start: Optional[int] = None
+    end: Optional[int] = None
+
+    aggr_type: str = ""
+
+    def _slice(self, hops: jnp.ndarray) -> jnp.ndarray:
+        return hops[self.start : self.end]
+
+    @property
+    def learnable(self) -> bool:
+        return self.aggr_type in LEARNABLE_AGGR_TYPES
+
+
+class LastMessageOp(MessageOp):
+    """``hops[-1]`` (SGC; reference ``last_message_op.py:4``)."""
+
+    aggr_type: str = "last"
+
+    def __call__(self, hops):
+        return hops[-1]
+
+
+class SumMessageOp(MessageOp):
+    aggr_type: str = "sum"
+
+    def __call__(self, hops):
+        return jnp.sum(self._slice(hops), axis=0)
+
+
+class MeanMessageOp(MessageOp):
+    """Mean over hops (S²GC; reference ``mean_message_op.py:4``)."""
+
+    aggr_type: str = "mean"
+
+    def __call__(self, hops):
+        return jnp.mean(self._slice(hops), axis=0)
+
+
+class MaxMessageOp(MessageOp):
+    aggr_type: str = "max"
+
+    def __call__(self, hops):
+        return jnp.max(self._slice(hops), axis=0)
+
+
+class MinMessageOp(MessageOp):
+    aggr_type: str = "min"
+
+    def __call__(self, hops):
+        return jnp.min(self._slice(hops), axis=0)
+
+
+class ConcatMessageOp(MessageOp):
+    """Feature-axis concat in hop order (SIGN; reference ``concat_message_op.py:6``)."""
+
+    aggr_type: str = "concat"
+
+    def __call__(self, hops):
+        h = self._slice(hops)  # (K, B, D)
+        k, b, d = h.shape
+        return jnp.moveaxis(h, 0, 1).reshape(b, k * d)
+
+
+class ProjectedConcatMessageOp(MessageOp):
+    """Per-hop MLP projection then concat (original SIGN; reference
+    ``projected_concat_message_op.py:9-28``).  Quirk preserved: hop slice 0's
+    projection is not ReLU'd, later ones are."""
+
+    hidden_dim: int = 0
+    num_layers: int = 2
+
+    aggr_type: str = "proj_concat"
+
+    @nn.compact
+    def __call__(self, hops, train: bool = False):
+        h = self._slice(hops)
+        outs = []
+        for i in range(h.shape[0]):
+            proj = MultiLayerPerceptron(
+                hidden_dim=self.hidden_dim,
+                num_layers=self.num_layers,
+                output_dim=self.hidden_dim,
+            )(h[i], train=train)
+            outs.append(proj if i == 0 else nn.relu(proj))
+        return jnp.concatenate(outs, axis=-1)
+
+
+class SimpleWeightedMessageOp(MessageOp):
+    """Fixed scalar hop weights (reference ``simple_weighted_message_op.py:8-56``).
+
+    ``alpha`` mode: geometric weights ``α(1-α)^k`` over the *full* hop list,
+    then sliced (GBP).  ``hand_crafted`` mode: user-provided weights matching
+    the sliced length.
+    """
+
+    combination_type: str = "alpha"
+    alpha: float = 0.85
+    weight_list: Optional[Sequence[float]] = None
+
+    aggr_type: str = "simple_weighted"
+
+    def __call__(self, hops):
+        h = self._slice(hops)
+        if self.combination_type == "alpha":
+            if not 0.0 <= self.alpha <= 1.0:
+                raise ValueError("The alpha must be a float in [0,1]!")
+            k_all = hops.shape[0]
+            w_full = self.alpha * (1.0 - self.alpha) ** jnp.arange(k_all)
+            w = w_full[self.start : self.end]
+        elif self.combination_type == "hand_crafted":
+            w = jnp.asarray(self.weight_list, jnp.float32)
+            if w.shape[0] != h.shape[0]:
+                raise ValueError(
+                    "The feature list and the weight list have different lengths!"
+                )
+        else:
+            raise ValueError(
+                "Invalid weighted combination type! Type must be 'alpha' or 'hand_crafted'."
+            )
+        return jnp.tensordot(w.astype(h.dtype), h, axes=1)
+
+
+class LearnableWeightedMessageOp(MessageOp):
+    """Learnable hop weighting, 5 combination types (reference
+    ``learnable_weighted_messahe_op.py:10-101``; GAMLP's JK attention = 'jk').
+    """
+
+    combination_type: str = "simple"
+    prop_steps: int = 0  # required for 'simple'/'simple_allow_neg'/'jk'
+    feat_dim: int = 0  # required for 'gate'/'ori_ref'/'jk'
+
+    aggr_type: str = "learnable_weighted"
+
+    @nn.compact
+    def __call__(self, hops, train: bool = False):
+        h = self._slice(hops)  # (K, B, D)
+        k, b, d = h.shape
+        ct = self.combination_type
+        if ct in ("simple", "simple_allow_neg"):
+            # xavier_normal on a (1, prop_steps+1) tensor (reference :32-35)
+            std = (2.0 / (1 + self.prop_steps + 1)) ** 0.5
+            w_full = self.param("hop_weight", normal(std), (self.prop_steps + 1,))
+            w = w_full[self.start : self.end]
+            if ct == "simple":
+                w = nn.softmax(nn.sigmoid(w))
+            return jnp.tensordot(w, h, axes=1)
+
+        if ct == "gate":
+            gate = nn.Dense(1)
+            logits = jnp.squeeze(gate(h), axis=-1)  # (K, B)
+            w = nn.softmax(nn.sigmoid(logits), axis=0)  # over hops, per node
+            return jnp.einsum("kb,kbd->bd", w, h)
+
+        if ct == "ori_ref":
+            ref = jnp.broadcast_to(hops[0], (k, b, d))
+            gate_in = jnp.concatenate([ref, h], axis=-1)  # (K, B, 2D)
+            logits = jnp.squeeze(nn.Dense(1)(gate_in), axis=-1)
+            w = nn.softmax(nn.sigmoid(logits), axis=0)
+            return jnp.einsum("kb,kbd->bd", w, h)
+
+        if ct == "jk":
+            all_concat = jnp.moveaxis(hops, 0, 1).reshape(b, -1)  # (B, (K+1)D)
+            ref = jnp.broadcast_to(all_concat[None], (k, b, all_concat.shape[-1]))
+            gate_in = jnp.concatenate([ref, h], axis=-1)
+            logits = jnp.squeeze(nn.Dense(1)(gate_in), axis=-1)
+            w = nn.softmax(nn.sigmoid(logits), axis=0)
+            return jnp.einsum("kb,kbd->bd", w, h)
+
+        raise ValueError(
+            "Invalid weighted combination type! Type must be 'simple', "
+            "'simple_allow_neg', 'gate', 'ori_ref' or 'jk'."
+        )
+
+
+class IterateLearnableWeightedMessageOp(MessageOp):
+    """GAMLP-Recursive: iteratively gate hop i against the running weighted
+    sum, re-softmaxing all weights each step (reference
+    ``iterate_learnable_weighted_message_op.py:28-51``)."""
+
+    combination_type: str = "recursive"
+
+    aggr_type: str = "iterate_learnable_weighted"
+
+    @nn.compact
+    def __call__(self, hops, train: bool = False):
+        if self.combination_type != "recursive":
+            raise ValueError(
+                "Invalid weighted combination type! Type must be 'recursive'."
+            )
+        h = self._slice(hops)  # (K, B, D)
+        k = h.shape[0]
+        gate = nn.Dense(1)
+        weighted = h[0]
+        logits = None  # (B, i+1) raw sigmoid gates accumulated so far
+        for i in range(k):
+            g = nn.sigmoid(gate(jnp.concatenate([h[i], weighted], axis=-1)))
+            logits = g if logits is None else jnp.concatenate([logits, g], axis=1)
+            w = nn.softmax(logits, axis=1)  # (B, i+1)
+            weighted = jnp.einsum("bk,kbd->bd", w, h[: i + 1])
+        return weighted
+
+
+class OverSmoothDistanceWeightedOp(MessageOp):
+    """NAFS: per-node softmax over hops of cosine similarity to hop 0
+    (reference ``over_smooth_distance_op.py:6-33``).  The reference's O(N)
+    per-node Python loop is one einsum here."""
+
+    aggr_type: str = "over_smooth_dis_weighted"
+
+    def __call__(self, hops):
+        ref = hops[0]  # (B, D)
+        ref_norm = jnp.linalg.norm(ref, axis=-1) + 1e-10  # (B,)
+        norms = jnp.linalg.norm(hops, axis=-1) + 1e-10  # (K+1, B)
+        cos = jnp.einsum("bd,kbd->kb", ref, hops) / (norms * ref_norm[None])
+        w = nn.softmax(cos, axis=0)  # over hops, per node
+        return jnp.einsum("kb,kbd->bd", w, hops)

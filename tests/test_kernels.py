@@ -1,0 +1,101 @@
+"""Kernel-layer unit tests: SpMM backends and normalization vs scipy.
+
+Mirrors the rebuild test strategy in SURVEY.md §4: Pallas/XLA kernels are
+checked ``allclose`` against a scipy reference, the same ground truth the
+reference's C kernels were implicitly validated against.
+"""
+
+import numpy as np
+import pytest
+import scipy.sparse as sp
+import jax
+import jax.numpy as jnp
+
+from sgl_tpu.graph import (
+    symmetric_normalized_weights,
+    ppr_weights,
+    row_normalized_weights,
+)
+from sgl_tpu.kernels import spmm, spmm_pallas
+from tests.conftest import random_graph, graph_to_csr
+
+
+def reference_sym_norm(adj: sp.csr_matrix, r: float) -> sp.csr_matrix:
+    """The reference's adj_to_symmetric_norm (operators/utils.py:76-89)."""
+    adj = adj + sp.eye(adj.shape[0])
+    deg = np.array(adj.sum(1)).flatten()
+    left = np.power(deg, r - 1, where=deg > 0) * (deg > 0)
+    right = np.power(deg, -r, where=deg > 0) * (deg > 0)
+    return sp.diags(left) @ adj.T @ sp.diags(right)
+
+
+@pytest.mark.parametrize("weighted", [False, True])
+@pytest.mark.parametrize("r", [0.5, 0.3, 1.0])
+def test_sym_norm_spmm_matches_scipy(weighted, r):
+    g = random_graph(n=150, weighted=weighted, seed=3)
+    csr = graph_to_csr(g)
+    adj = symmetric_normalized_weights(g, r=r)
+    got = np.asarray(spmm(adj, jnp.asarray(g.x)))
+    want = reference_sym_norm(csr, r) @ g.x
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+
+def test_ppr_matches_scipy():
+    g = random_graph(n=120, seed=5)
+    csr = graph_to_csr(g)
+    alpha = 0.3
+    adj = ppr_weights(g, r=0.5, alpha=alpha)
+    got = np.asarray(spmm(adj, jnp.asarray(g.x)))
+    mat = (1 - alpha) * reference_sym_norm(csr, 0.5) + alpha * sp.eye(g.num_nodes)
+    want = mat @ g.x
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+
+def test_row_norm():
+    g = random_graph(n=80, seed=7)
+    csr = graph_to_csr(g) + sp.eye(80)
+    deg = np.array(csr.sum(0)).flatten()  # in-degrees of dst
+    adj = row_normalized_weights(g)
+    got = np.asarray(spmm(adj, jnp.asarray(g.x)))
+    # y_t = sum_s a[s,t] x_s / deg_in[t]  ==  D_in^-1 A^T x
+    want = sp.diags(1.0 / deg) @ csr.T @ g.x
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+
+def test_spmm_grad_flows():
+    g = random_graph(n=60, seed=1)
+    adj = symmetric_normalized_weights(g)
+
+    def loss(x):
+        return jnp.sum(spmm(adj, x) ** 2)
+
+    grad = jax.grad(loss)(jnp.asarray(g.x))
+    assert np.isfinite(np.asarray(grad)).all()
+    assert np.abs(np.asarray(grad)).sum() > 0
+
+
+def test_pallas_spmm_interpret_matches_segment():
+    g = random_graph(n=300, avg_deg=12, d=20, seed=11)
+    adj = symmetric_normalized_weights(g, sort=True)
+    x = jnp.asarray(g.x)
+    want = np.asarray(spmm(adj, x))
+    got = np.asarray(spmm_pallas(adj, x, interpret=True))
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+
+def test_pallas_spmm_hub_node():
+    """A hub with degree >> CHUNK exercises the multi-chunk tile path."""
+    n = 400
+    hub_src = np.arange(1, n, dtype=np.int32)
+    hub_dst = np.zeros(n - 1, dtype=np.int32)
+    src = np.concatenate([hub_src, hub_dst])
+    dst = np.concatenate([hub_dst, hub_src])
+    from sgl_tpu.graph import Graph
+
+    rng = np.random.default_rng(0)
+    x = rng.normal(size=(n, 8)).astype(np.float32)
+    g = Graph.from_coo(src, dst, num_nodes=n, x=x, pad_multiple=256)
+    adj = symmetric_normalized_weights(g)
+    want = np.asarray(spmm(adj, jnp.asarray(x)))
+    got = np.asarray(spmm_pallas(adj, jnp.asarray(x), interpret=True))
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
