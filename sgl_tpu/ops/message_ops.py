@@ -30,8 +30,6 @@ import jax.numpy as jnp
 from flax import linen as nn
 from jax.nn.initializers import normal
 
-from sgl_tpu.models.blocks import MultiLayerPerceptron
-
 LEARNABLE_AGGR_TYPES = frozenset(
     {"proj_concat", "learnable_weighted", "iterate_learnable_weighted"}
 )
@@ -116,6 +114,9 @@ class ProjectedConcatMessageOp(MessageOp):
 
     @nn.compact
     def __call__(self, hops, train: bool = False):
+        # deferred import: models.blocks ↔ ops.message_ops would otherwise cycle
+        from sgl_tpu.models.blocks import MultiLayerPerceptron
+
         h = self._slice(hops)
         outs = []
         for i in range(h.shape[0]):

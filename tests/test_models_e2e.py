@@ -1,0 +1,80 @@
+"""End-to-end golden tests: every homo model trains on an easy SBM and
+recovers the communities (SURVEY.md §4 test pyramid, level 3).
+
+The SBM is separable enough that any correct SGAP pipeline reaches ≥0.8
+test accuracy in a few epochs; a broken eager/lazy aggregation split,
+normalization, or train step shows up as chance-level accuracy.
+"""
+
+import numpy as np
+import pytest
+
+from sgl_tpu.datasets.synthetic import PlantedPartition
+from sgl_tpu.models import homo
+from sgl_tpu.tasks.node_classification import NodeClassification
+
+DS = PlantedPartition(num_nodes=400, feat_dim=16, seed=1)
+
+
+def _run(model, epochs=30, lr=0.1, wd=5e-5, **task_kw):
+    task = NodeClassification(
+        DS, model, lr=lr, weight_decay=wd, epochs=epochs, verbose=False, **task_kw
+    )
+    return task.test_acc
+
+
+def test_sgc():
+    acc = _run(homo.SGC(3, DS.num_features, DS.num_classes))
+    assert acc > 0.85, acc
+
+
+def test_ssgc():
+    acc = _run(homo.SSGC(3, DS.num_features, DS.num_classes))
+    assert acc > 0.85, acc
+
+
+def test_sign():
+    acc = _run(homo.SIGN(3, DS.num_features, DS.num_classes, hidden_dim=32, num_layers=2))
+    assert acc > 0.85, acc
+
+
+def test_gbp():
+    # alpha weights hops geometrically toward hop 0; the SBM's raw features
+    # are noisy by construction, so test with a smoothing-heavy alpha
+    # (alpha=0.85 tops out ~0.67 here purely from feature noise).
+    acc = _run(
+        homo.GBP(
+            3, DS.num_features, DS.num_classes, hidden_dim=32, num_layers=2, alpha=0.15
+        )
+    )
+    assert acc > 0.85, acc
+
+
+def test_gamlp_lazy_aggregation():
+    model = homo.GAMLP(3, DS.num_features, DS.num_classes, hidden_dim=32, num_layers=2)
+    assert model.pre_msg_learnable  # must take the lazy path
+    acc = _run(model, epochs=40, lr=0.05)
+    assert acc > 0.85, acc
+
+
+def test_gamlp_recursive():
+    model = homo.GAMLPRecursive(
+        3, DS.num_features, DS.num_classes, hidden_dim=32, num_layers=2
+    )
+    assert model.pre_msg_learnable
+    acc = _run(model, epochs=40, lr=0.05)
+    assert acc > 0.85, acc
+
+
+def test_pasca_v3_post_propagation():
+    model = homo.PASCA_V3(
+        3, 2, DS.num_features, DS.num_classes, hidden_dim=32, num_layers=2
+    )
+    acc = _run(model, epochs=40, lr=0.05)
+    assert acc > 0.8, acc
+
+
+def test_mini_batch_matches_full_batch_quality():
+    model = homo.SGC(3, DS.num_features, DS.num_classes)
+    acc = _run(model, epochs=30, train_batch_size=48, eval_batch_size=64)
+    assert acc > 0.85, acc
