@@ -1,0 +1,164 @@
+"""Benchmark: SpMM precompute throughput (edges/s/chip), the BASELINE.json
+headline metric, plus GAMLP train-step throughput.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+
+``vs_baseline`` is the speedup over the reference's precompute path measured
+on this host — scipy CSR@dense, the exact fallback the reference uses off
+Linux (``sgl/operators/base_op.py:30-34``); its Linux OpenMP kernel is the
+same O(nnz·d) HBM-bound loop, so scipy-on-host is the honest stand-in
+given the reference cannot run its CUDA/OMP path here.
+
+Timing methodology: the tunneled TPU backend has a ~31 ms fixed
+dispatch+readback round-trip and an unreliable ``block_until_ready``, so all
+device timings are *slope-based* — run the op chained k1 and k2 times inside
+one jit, read one scalar back, and report (t2 - t1) / (k2 - k1).
+
+Details go to stderr; the single JSON line goes to stdout.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def _sync_scalar(out):
+    import jax
+    import jax.numpy as jnp
+
+    leaf = jax.tree_util.tree_leaves(out)[0]
+    return float(jnp.ravel(leaf)[0])
+
+
+def timed(fn, iters: int = 3) -> float:
+    """Median wall time of fn() with a forced scalar readback."""
+    _sync_scalar(fn())  # warm / compile
+    ts = []
+    for _ in range(iters):
+        t0 = time.perf_counter()
+        _sync_scalar(fn())
+        ts.append(time.perf_counter() - t0)
+    return float(np.median(ts))
+
+
+def bench_spmm(n=200_000, avg_deg=25, d=128, iters=3):
+    import jax
+    import jax.numpy as jnp
+
+    from sgl_tpu.datasets.synthetic import random_power_law_graph
+    from sgl_tpu.graph import symmetric_normalized_weights, to_scipy
+    from sgl_tpu.ops.graph_ops import k_hop_propagate
+
+    g = random_power_law_graph(n, avg_deg, d, seed=0)
+    adj = symmetric_normalized_weights(g)
+    nnz = int(np.sum(np.asarray(adj.w) != 0))
+    x = jnp.asarray(g.x)
+    log(f"graph: {g.num_nodes} nodes, {nnz} nnz (incl self loops), d={d}")
+
+    k1, k2 = 6, 16
+    results = {}
+    for backend in ("segment", "pallas"):
+        try:
+            f1 = jax.jit(
+                lambda a, xx, b=backend: k_hop_propagate(a, xx, k1, backend=b)[-1]
+            )
+            f2 = jax.jit(
+                lambda a, xx, b=backend: k_hop_propagate(a, xx, k2, backend=b)[-1]
+            )
+            t1 = timed(lambda: f1(adj, x), iters)
+            t2 = timed(lambda: f2(adj, x), iters)
+            per_hop = (t2 - t1) / (k2 - k1)
+            eps = nnz / per_hop
+            results[backend] = eps
+            log(f"spmm[{backend}]: {per_hop*1e3:.2f} ms/hop -> {eps/1e9:.3f} G edges/s")
+        except Exception as e:  # pallas may be unsupported on some backends
+            log(f"spmm[{backend}] failed: {type(e).__name__}: {e}")
+
+    best = max(results.values())
+
+    # reference baseline: scipy CSR @ dense on this host (one hop is enough)
+    csr = to_scipy(g).tocsr().astype(np.float32)
+    xh = np.asarray(x)
+    t0 = time.perf_counter()
+    _ = csr @ xh
+    dt_ref = time.perf_counter() - t0
+    ref_eps = csr.nnz / dt_ref
+    log(f"scipy baseline: {dt_ref*1e3:.2f} ms/hop -> {ref_eps/1e9:.3f} G edges/s")
+    return best, best / ref_eps
+
+
+def bench_gamlp_epoch(n=100_000, d=128, classes=64, hops=3):
+    """GAMLP full train-step throughput (the reference's 'epochs/sec')."""
+    import jax
+    import jax.numpy as jnp
+
+    from sgl_tpu.datasets.synthetic import random_power_law_graph
+    from sgl_tpu.models.homo import GAMLP
+    from sgl_tpu.tasks.utils import adam_l2, init_train_state, make_train_step
+
+    g = random_power_law_graph(n, 20, d, num_classes=classes, seed=1)
+    model = GAMLP(hops, d, classes, hidden_dim=512, num_layers=3)
+    model.preprocess(g, g.x)
+    rng = jax.random.PRNGKey(0)
+    idx = jnp.arange(n)
+    params = model.init(rng, idx[:2])
+    tx = adam_l2(0.1, 5e-5)
+    state = init_train_state(rng, params, tx)
+    net = model.net
+    step = make_train_step(
+        lambda p, f, train, rngs: net.apply(p, f, train=train, rngs=rngs), tx
+    )
+    labels = jnp.asarray(np.asarray(g.y), jnp.int32)
+    w = jnp.ones(n, jnp.float32)
+    feats = model.batch_input(idx)
+
+    def run(k):
+        s = state
+        for _ in range(k):
+            s, loss, acc = step(s, feats, labels, w)
+        return loss
+
+    k1, k2 = 5, 25
+    t1 = timed(lambda: run(k1))
+    t2 = timed(lambda: run(k2))
+    per_step = (t2 - t1) / (k2 - k1)
+    log(
+        f"GAMLP full-batch step ({n} nodes, hidden 512): "
+        f"{per_step*1e3:.2f} ms -> {1/per_step:.2f} epochs/s"
+    )
+    return 1.0 / per_step
+
+
+def main():
+    import jax
+
+    log("devices:", jax.devices())
+    spmm_eps, vs_ref = bench_spmm()
+    try:
+        epochs_per_s = bench_gamlp_epoch()
+        log(f"gamlp_epochs_per_s: {epochs_per_s:.2f}")
+    except Exception as e:
+        log(f"gamlp bench failed: {type(e).__name__}: {e}")
+    print(
+        json.dumps(
+            {
+                "metric": "spmm_precompute_throughput",
+                "value": round(spmm_eps / 1e9, 4),
+                "unit": "Gedges/s/chip",
+                "vs_baseline": round(vs_ref, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -4,19 +4,28 @@ Replaces the scatter-add half of SpMM (the part XLA serializes worst) with a
 hand-written TPU kernel.  Strategy — nothing like the reference's C kernels
 (``sgl/operators/csrc/matmul.c``), which walk CSR rows on scalar cores:
 
-1. messages ``m_e = w_e * x[src_e]`` are produced by XLA (gather + multiply
-   fuse into one HBM-bandwidth-bound pass);
+1. messages ``m_e = w_e * x[src_e]`` are produced by XLA (gather + multiply +
+   hi/lo bf16 split fuse into one pass; the row gather is the measured
+   bottleneck on this chip at ~100M rows/s regardless of row width);
 2. edges are pre-sorted by ``dst`` (``Graph.from_coo`` guarantees this), so
    each 128-row output tile owns a contiguous edge range;
 3. the kernel walks each tile's edge range in ``CHUNK``-edge steps with
-   double-buffered HBM→VMEM DMA and reduces each chunk with
-   ``onehot(dst)ᵀ @ msgs`` — a (TILE_R × CHUNK) @ (CHUNK × D) matmul on the
-   MXU.  Scatter-add becomes dense matmul: ~128·D FLOPs/edge, far below the
-   MXU roofline, so the kernel stays HBM-bound (the speed of light for
-   unstructured SpMM).
+   triple-buffered HBM→VMEM DMA and reduces each chunk with
+   ``onehot(dst) @ msgs`` — a (TILE_R × CHUNK) @ (CHUNK × 2D) bf16 matmul on
+   the MXU.  Scatter-add becomes dense matmul, far below the MXU roofline,
+   so the scatter phase is HBM-bound.
 
-Out-of-tile edges inside an aligned chunk window simply match no one-hot
-column, so no masking is needed; padding edges carry ``w == 0``.
+Precision: messages are stored as a packed ``[hi | lo]`` bf16 pair (same
+bytes as f32); the one-hot is exact in bf16, so ``onehot@hi + onehot@lo``
+reconstructs the f32 segment sum to ~2^-16 relative error with single-pass
+bf16 MXU throughput (6x cheaper than Precision.HIGHEST).
+
+Layout notes (Mosaic tiling rules): all DMA offsets are CHUNK-aligned, so
+edge arrays are stored chunk-major — msgs as ``(E/CHUNK, CHUNK, 2D)`` bf16
+and dst as ``(E/CHUNK, 1, CHUNK)`` int32 (edge index on lanes) — making
+every DMA slice whole-tile aligned.  Out-of-tile edges inside an aligned
+chunk window match no one-hot row, so no masking is needed; padding edges
+carry ``w == 0``.
 """
 
 from __future__ import annotations
@@ -31,8 +40,8 @@ from jax.experimental.pallas import tpu as pltpu
 from sgl_tpu.kernels.sparse import SparseAdj
 
 TILE_R = 128  # output rows per grid step (MXU-aligned)
-CHUNK = 512  # edges per inner DMA/matmul step
-N_BUF = 2  # double buffering
+CHUNK = 2048  # edges per inner DMA/matmul step (1 MB msgs DMA at D=128)
+N_BUF = 3  # DMA pipeline depth
 
 
 def _round_up(x: int, m: int) -> int:
@@ -43,38 +52,40 @@ def _seg_kernel(tile_ptr_ref, dst_ref, msgs_ref, out_ref, msgs_buf, dst_buf, sem
     t = pl.program_id(0)
     e0 = tile_ptr_ref[t]
     e1 = tile_ptr_ref[t + 1]
-    # chunk-aligned window covering [e0, e1); alignment keeps DMAs inside the
-    # padded edge array, equality-matching drops foreign edges.
-    w0 = (e0 // CHUNK) * CHUNK
-    n_chunks = jnp.maximum(pl.cdiv(e1 - w0, CHUNK), jnp.int32(e1 > e0))
+    # chunk-aligned window covering [e0, e1); alignment keeps DMAs on whole
+    # chunks, equality-matching drops foreign edges.
+    c0 = e0 // CHUNK
+    n_chunks = jnp.where(e1 > e0, pl.cdiv(e1, CHUNK) - c0, 0)
 
-    def get_dma(slot, chunk_idx):
-        off = w0 + chunk_idx * CHUNK
+    def get_dma(slot, ci):
         return (
             pltpu.make_async_copy(
-                msgs_ref.at[pl.ds(off, CHUNK), :], msgs_buf.at[slot], sems.at[slot]
+                msgs_ref.at[c0 + ci], msgs_buf.at[slot], sems.at[slot]
             ),
             pltpu.make_async_copy(
-                dst_ref.at[pl.ds(off, CHUNK), :], dst_buf.at[slot], dst_sems.at[slot]
+                dst_ref.at[c0 + ci], dst_buf.at[slot], dst_sems.at[slot]
             ),
         )
 
     @pl.when(n_chunks > 0)
     def _():
-        m0, d0 = get_dma(0, 0)
-        m0.start()
-        d0.start()
+        for s in range(N_BUF - 1):
 
-    out_ref[:] = jnp.zeros_like(out_ref)
+            @pl.when(s < n_chunks)
+            def _():
+                m, d = get_dma(s, s)
+                m.start()
+                d.start()
+
     row_base = t * TILE_R
+    d2 = out_ref.shape[1]  # = D
 
     def body(ci, acc):
         slot = ci % N_BUF
-        nxt = (ci + 1) % N_BUF
 
-        @pl.when(ci + 1 < n_chunks)
+        @pl.when(ci + N_BUF - 1 < n_chunks)
         def _():
-            m, d = get_dma(nxt, ci + 1)
+            m, d = get_dma((ci + N_BUF - 1) % N_BUF, ci + N_BUF - 1)
             m.start()
             d.start()
 
@@ -82,56 +93,55 @@ def _seg_kernel(tile_ptr_ref, dst_ref, msgs_ref, out_ref, msgs_buf, dst_buf, sem
         m.wait()
         d.wait()
 
-        local = dst_buf[slot] - row_base  # (CHUNK, 1) int32
-        cols = jax.lax.broadcasted_iota(jnp.int32, (CHUNK, TILE_R), 1)
-        onehot = (local == cols).astype(jnp.float32)  # (CHUNK, TILE_R)
+        local = dst_buf[slot] - row_base  # (1, CHUNK)
+        rows = jax.lax.broadcasted_iota(jnp.int32, (TILE_R, CHUNK), 0)
+        onehot = (local == rows).astype(jnp.bfloat16)  # (TILE_R, CHUNK)
         contrib = jax.lax.dot_general(
             onehot,
             msgs_buf[slot],
-            dimension_numbers=(((0,), (0,)), ((), ())),
-            # HIGHEST keeps f32 message precision through the MXU (default
-            # precision would bf16-round the inputs); we are far below the
-            # MXU roofline so the extra passes are free.
-            precision=jax.lax.Precision.HIGHEST,
+            dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
-        )  # (TILE_R, D)
-        return acc + contrib
+        )  # (TILE_R, 2D): [hi | lo] partial sums
+        return acc + contrib[:, :d2] + contrib[:, d2:]
 
-    acc = jax.lax.fori_loop(
-        0, n_chunks, body, jnp.zeros_like(out_ref), unroll=False
+    out_ref[:] = jax.lax.fori_loop(
+        0, n_chunks, body, jnp.zeros_like(out_ref)
     )
-    out_ref[:] = acc
 
 
 @functools.partial(jax.jit, static_argnames=("num_nodes", "interpret"))
-def _segment_reduce_mxu(msgs, dst, num_nodes: int, interpret: bool = False):
-    """Sorted-by-dst segment sum of ``msgs`` rows via the Pallas kernel.
+def _segment_reduce_mxu(msgs2, dst, num_nodes: int, interpret: bool = False):
+    """Sorted-by-dst segment sum via the Pallas kernel.
 
-    msgs: [E_pad, D] float32 (E_pad multiple of CHUNK, D multiple of 128)
-    dst:  [E_pad] int32 sorted ascending (padding edges at the end)
+    msgs2: [E_pad, 2D] bf16 packed [hi | lo] rows (E_pad multiple of CHUNK,
+           D multiple of 128)
+    dst:   [E_pad] int32 sorted ascending (padding edges at the end)
     """
-    e_pad, d = msgs.shape
+    e_pad, d2 = msgs2.shape
+    d = d2 // 2
     assert e_pad % CHUNK == 0 and d % 128 == 0
     n_tiles = pl.cdiv(num_nodes, TILE_R)
     n_pad = n_tiles * TILE_R
     # first edge of each output tile (cheap: T+1 binary searches)
     bounds = jnp.arange(n_tiles + 1, dtype=jnp.int32) * TILE_R
     tile_ptr = jnp.searchsorted(dst, bounds, side="left").astype(jnp.int32)
-    dst2d = dst.reshape(-1, 1)
+    # chunk-major layouts so every DMA slice is whole-tile aligned
+    msgs3 = msgs2.reshape(e_pad // CHUNK, CHUNK, d2)
+    dst3 = dst.reshape(e_pad // CHUNK, 1, CHUNK)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(n_tiles,),
         in_specs=[
-            pl.BlockSpec(memory_space=pl.ANY),  # dst2d stays in HBM
-            pl.BlockSpec(memory_space=pl.ANY),  # msgs stays in HBM
+            pl.BlockSpec(memory_space=pl.ANY),  # dst3 stays in HBM
+            pl.BlockSpec(memory_space=pl.ANY),  # msgs3 stays in HBM
         ],
         out_specs=pl.BlockSpec(
             (TILE_R, d), lambda t, ptr: (t, 0), memory_space=pltpu.VMEM
         ),
         scratch_shapes=[
-            pltpu.VMEM((N_BUF, CHUNK, d), jnp.float32),
-            pltpu.VMEM((N_BUF, CHUNK, 1), jnp.int32),
+            pltpu.VMEM((N_BUF, CHUNK, d2), jnp.bfloat16),
+            pltpu.VMEM((N_BUF, 1, CHUNK), jnp.int32),
             pltpu.SemaphoreType.DMA((N_BUF,)),
             pltpu.SemaphoreType.DMA((N_BUF,)),
         ],
@@ -142,20 +152,27 @@ def _segment_reduce_mxu(msgs, dst, num_nodes: int, interpret: bool = False):
         grid_spec=grid_spec,
         interpret=interpret,
         cost_estimate=pl.CostEstimate(
-            flops=2 * e_pad * TILE_R * d,
-            bytes_accessed=e_pad * (d * 4 + 4) + n_pad * d * 4,
+            flops=2 * e_pad * TILE_R * d2,
+            bytes_accessed=e_pad * (d2 * 2 + 4) + n_pad * d * 4,
             transcendentals=0,
         ),
-    )(tile_ptr, dst2d, msgs)
+    )(tile_ptr, dst3, msgs3)
     return out[:num_nodes]
 
 
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
 def spmm_pallas(adj: SparseAdj, x: jnp.ndarray, interpret: bool = False) -> jnp.ndarray:
     """``y = adj @ x`` with XLA gather + Pallas MXU segment reduction.
 
     Requires ``adj`` sorted by dst (``Graph.from_coo`` default).  Shapes are
     padded internally to kernel alignment; result is [num_nodes, D] float32.
+    Differentiable w.r.t. ``x`` (VJP = transpose SpMM via the segment
+    backend, since the transposed edge list is no longer dst-sorted).
     """
+    return _spmm_pallas_impl(adj, x, interpret)
+
+
+def _spmm_pallas_impl(adj: SparseAdj, x: jnp.ndarray, interpret: bool = False) -> jnp.ndarray:
     if not adj.sorted_by_dst:
         raise ValueError("spmm_pallas requires dst-sorted edges")
     e = adj.src.shape[0]
@@ -163,12 +180,32 @@ def spmm_pallas(adj: SparseAdj, x: jnp.ndarray, interpret: bool = False) -> jnp.
     e_pad = _round_up(e, CHUNK)
     d_pad = _round_up(d, 128)
     msgs = jnp.take(x, adj.src, axis=0).astype(jnp.float32) * adj.w[:, None]
-    dst = adj.dst
-    if e_pad != e:
-        msgs = jnp.pad(msgs, ((0, e_pad - e), (0, 0)))
-        # pad dst with an out-of-range id so padded edges match no tile row
-        dst = jnp.pad(dst, (0, e_pad - e), constant_values=jnp.int32(2**30))
     if d_pad != d:
         msgs = jnp.pad(msgs, ((0, 0), (0, d_pad - d)))
-    out = _segment_reduce_mxu(msgs, dst, num_nodes=adj.num_nodes, interpret=interpret)
+    # pack [hi | lo] bf16 (fuses into the gather's output write)
+    hi = msgs.astype(jnp.bfloat16)
+    lo = (msgs - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    msgs2 = jnp.concatenate([hi, lo], axis=1)
+    dst = adj.dst
+    if e_pad != e:
+        msgs2 = jnp.pad(msgs2, ((0, e_pad - e), (0, 0)))
+        # pad dst with an out-of-range id so padded edges match no tile row
+        dst = jnp.pad(dst, (0, e_pad - e), constant_values=jnp.int32(2**30))
+    out = _segment_reduce_mxu(msgs2, dst, num_nodes=adj.num_nodes, interpret=interpret)
     return out[:, :d].astype(x.dtype)
+
+
+def _spmm_pallas_fwd(adj, x, interpret):
+    return _spmm_pallas_impl(adj, x, interpret), adj
+
+
+def _spmm_pallas_bwd(interpret, adj, g):
+    from sgl_tpu.kernels.sparse import spmm_segment
+
+    # d/dx (A x) applied to cotangent g is A^T g; transposed edges are not
+    # dst-sorted, so use the segment backend (gradients are off the hot path)
+    dx = spmm_segment(adj.transpose(), g)
+    return (None, dx)
+
+
+spmm_pallas.defvjp(_spmm_pallas_fwd, _spmm_pallas_bwd)

@@ -1,0 +1,9 @@
+from sgl_tpu.parallel.mesh import make_mesh, data_sharding, replicated
+from sgl_tpu.parallel.spmm_dist import (
+    DistAdj,
+    partition_adj,
+    pad_features,
+    make_dist_spmm,
+    k_hop_propagate_dist,
+)
+from sgl_tpu.parallel.train_dist import make_parallel_train_step, replicate_state

@@ -1,0 +1,123 @@
+"""Distributed propagation + data-parallel training on the virtual 8-device
+CPU mesh (SURVEY.md §4: fake N-device mesh ≡ the TPU-world fake backend)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from sgl_tpu.graph import symmetric_normalized_weights
+from sgl_tpu.kernels import spmm
+from sgl_tpu.parallel import (
+    k_hop_propagate_dist,
+    make_mesh,
+    make_parallel_train_step,
+    partition_adj,
+    replicate_state,
+)
+from sgl_tpu.ops.graph_ops import k_hop_propagate
+from sgl_tpu.tasks.utils import adam_l2, init_train_state, make_train_step
+from tests.conftest import random_graph
+
+pytestmark = pytest.mark.skipif(
+    len(jax.devices()) < 8, reason="needs 8 virtual devices"
+)
+
+
+def test_ring_spmm_matches_single_device():
+    g = random_graph(n=333, avg_deg=10, d=12, seed=21)
+    adj = symmetric_normalized_weights(g)
+    mesh = make_mesh((1, 8))
+    dadj = partition_adj(adj, 8)
+    got = np.asarray(k_hop_propagate_dist(mesh, dadj, g.x, prop_steps=3))
+    want = np.asarray(k_hop_propagate(adj, jnp.asarray(g.x), 3))
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+
+def test_ring_spmm_uneven_nodes():
+    """Node count not divisible by P exercises row padding."""
+    g = random_graph(n=101, avg_deg=6, d=5, seed=3)
+    adj = symmetric_normalized_weights(g)
+    mesh = make_mesh((1, 8))
+    dadj = partition_adj(adj, 8)
+    got = np.asarray(k_hop_propagate_dist(mesh, dadj, g.x, prop_steps=2))
+    want = np.asarray(k_hop_propagate(adj, jnp.asarray(g.x), 2))
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+
+def test_parallel_train_step_matches_single_device():
+    """One DP step over the mesh must equal the single-device step exactly
+    (the reference's DDP path can't make this guarantee — it discards the
+    spawned workers' weights, SURVEY.md §3.2)."""
+    from sgl_tpu.models.homo import SGC
+    from sgl_tpu.datasets.synthetic import PlantedPartition
+
+    ds = PlantedPartition(num_nodes=160, feat_dim=8, seed=5)
+    labels = jnp.asarray(np.asarray(ds.y), jnp.int32)
+
+    def build():
+        m = SGC(3, ds.num_features, ds.num_classes)
+        m.preprocess(ds.graph, ds.x)
+        rng = jax.random.PRNGKey(0)
+        params = m.init(rng)
+        tx = adam_l2(0.1, 5e-5)
+        return m, init_train_state(rng, params, tx), tx
+
+    idx = jnp.arange(0, 160)
+    w = jnp.ones(160, jnp.float32)
+
+    m1, state1, tx1 = build()
+    net1 = m1.net
+    step1 = make_train_step(
+        lambda p, f, train, rngs: net1.apply(p, f, train=train, rngs=rngs), tx1
+    )
+    feats = m1.batch_input(idx)
+    state1, loss1, acc1 = step1(state1, feats, labels[idx], w)
+
+    m2, state2, tx2 = build()
+    net2 = m2.net
+    mesh = make_mesh((8, 1))
+    state2 = replicate_state(state2, mesh)
+    step2, shard_batch = make_parallel_train_step(
+        lambda p, f, train, rngs: net2.apply(p, f, train=train, rngs=rngs),
+        tx2,
+        mesh,
+    )
+    feats2, labels2, w2 = shard_batch(m2.batch_input(idx), labels[idx], w)
+    state2, loss2, acc2 = step2(state2, feats2, labels2, w2)
+
+    assert np.isclose(float(loss1), float(loss2), rtol=1e-5)
+    assert np.isclose(float(acc1), float(acc2), rtol=1e-5)
+    for a, b in zip(
+        jax.tree_util.tree_leaves(state1.params),
+        jax.tree_util.tree_leaves(state2.params),
+    ):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-6)
+
+
+def test_full_2d_mesh_pipeline():
+    """Propagate over the graph axis, train over the data axis, one mesh."""
+    from sgl_tpu.models.homo import GAMLP
+    from sgl_tpu.datasets.synthetic import PlantedPartition
+    from sgl_tpu.models.base import SGAPNet
+
+    ds = PlantedPartition(num_nodes=128, feat_dim=8, seed=6)
+    mesh = make_mesh((2, 4))
+    adj = symmetric_normalized_weights(ds.graph)
+    dadj = partition_adj(adj, 4)
+    hops = k_hop_propagate_dist(mesh, dadj, ds.x, prop_steps=2, axis="graph")
+    assert hops.shape == (3, 128, 8)
+
+    model = GAMLP(2, ds.num_features, ds.num_classes, hidden_dim=16, num_layers=2)
+    net = SGAPNet(msg_op=model.pre_msg_op, base_model=model.base_model)
+    rng = jax.random.PRNGKey(0)
+    params = net.init(rng, hops[:, :2], train=False)
+    tx = adam_l2(0.05, 5e-5)
+    state = replicate_state(init_train_state(rng, params, tx), mesh)
+    step, shard_batch = make_parallel_train_step(
+        lambda p, f, train, rngs: net.apply(p, f, train=train, rngs=rngs), tx, mesh
+    )
+    labels = jnp.asarray(np.asarray(ds.y), jnp.int32)
+    f, l, w = shard_batch(hops, labels, jnp.ones(128, jnp.float32))
+    state, loss, acc = step(state, f, l, w)
+    assert np.isfinite(float(loss))
