@@ -217,16 +217,15 @@ class HeteroNodeDataset:
         """Sample ``random_subgraph_num`` distinct relation subsets of size
         ``subgraph_edge_type_num`` (reference ``base_dataset.py:399-433``)
         and materialize each subset's union subgraph."""
-        from sgl_tpu.datasets.choose_edge_type import ChooseMultiSubgraphs
+        from sgl_tpu.datasets.choose_edge_type import choose_multi_subgraphs
 
-        combos = ChooseMultiSubgraphs(
+        combos = choose_multi_subgraphs(
             random_subgraph_num,
             subgraph_edge_type_num,
             list(edge_types),
-            self.data,
             predict_class,
             seed=seed,
-        ).combinations
+        )
         return {
             tuple(combo): self.sample_by_edge_type(combo) for combo in combos
         }

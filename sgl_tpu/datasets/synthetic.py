@@ -12,7 +12,7 @@ from __future__ import annotations
 
 import numpy as np
 
-from sgl_tpu.datasets.base import NodeDataset, random_split
+from sgl_tpu.datasets.base import HeteroNodeDataset, NodeDataset, random_split
 from sgl_tpu.graph.graph import Graph, HeteroGraph
 
 
@@ -97,6 +97,34 @@ def random_power_law_graph(
     )
 
 
+class SyntheticHeteroDataset(HeteroNodeDataset):
+    """Wraps :func:`synthetic_hetero` in the ``HeteroNodeDataset`` lifecycle
+    with a random split over the predict-class nodes (local ids)."""
+
+    def __init__(self, predict_class: str = "paper", seed: int = 0, **kw):
+        self._gen_kw = dict(kw, seed=seed)
+        self._predict_class = predict_class
+        self._seed = seed
+        super().__init__(name=f"synth_hetero_{seed}", use_cache=False)
+
+    def _raw_exists(self) -> bool:
+        return True
+
+    def _process(self) -> HeteroGraph:
+        return synthetic_hetero(**self._gen_kw)
+
+    def _split(self) -> None:
+        n = self.data.num_node[self._predict_class]
+        self.train_idx, self.val_idx, self.test_idx = random_split(
+            n, 0.5, 0.25, seed=self._seed
+        )
+
+    @property
+    def num_classes(self) -> int:
+        y = np.asarray(self.data[self._predict_class].y)
+        return int(y.max()) + 1
+
+
 def synthetic_hetero(
     counts=None,
     avg_degree: int = 6,
@@ -119,9 +147,15 @@ def synthetic_hetero(
             rng.integers(0, counts[st], e),
             rng.integers(0, counts[dt], e),
         )
+    y = rng.integers(0, num_classes, counts["paper"])
+    centroids = rng.normal(size=(num_classes, feat_dim)).astype(np.float32)
     x_dict = {
         t: rng.normal(size=(n, feat_dim)).astype(np.float32)
         for t, n in counts.items()
     }
-    y_dict = {"paper": rng.integers(0, num_classes, counts["paper"])}
+    # class-correlated paper features so models can beat chance
+    x_dict["paper"] = (
+        centroids[y] + 1.0 * rng.normal(size=(counts["paper"], feat_dim))
+    ).astype(np.float32)
+    y_dict = {"paper": y}
     return HeteroGraph.build(counts, edges, x_dict=x_dict, y_dict=y_dict)

@@ -23,3 +23,9 @@ from sgl_tpu.models.homo import (
     SGCDist,
     GAMLPDist,
 )
+from sgl_tpu.models.hetero import (
+    HeteroSGAPModel,
+    FastHeteroSGAPModel,
+    NARS_SIGN,
+    Fast_NARS_SGC_WithLearnableWeights,
+)

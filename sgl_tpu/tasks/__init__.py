@@ -1,1 +1,19 @@
 from sgl_tpu.tasks.node_classification import NodeClassification
+from sgl_tpu.tasks.correct_and_smooth import (
+    NodeClassificationWithCorrectAndSmooth,
+    NodeClassification_With_CorrectAndSmooth,
+)
+from sgl_tpu.tasks.node_clustering import (
+    NodeClustering,
+    NodeClusteringNAFS,
+    nafs_smooth_features,
+)
+from sgl_tpu.tasks.link_prediction import (
+    LinkPredictionGAE,
+    LinkPredictionNAFS,
+    mask_test_edges,
+)
+from sgl_tpu.tasks.node_classification_with_label_use import (
+    NodeClassificationWithLabelUse,
+)
+from sgl_tpu.tasks.hetero_node_classification import HeteroNodeClassification

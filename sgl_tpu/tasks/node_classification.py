@@ -124,6 +124,7 @@ class NodeClassification(BaseTask):
                 )
             if acc_val > best_val:
                 best_val, best_test = acc_val, acc_test
+                self._on_best(state)
 
         acc_val, acc_test = self._postprocess(state, labels, val_idx, test_idx)
         if acc_val > best_val:
@@ -135,6 +136,10 @@ class NodeClassification(BaseTask):
             print(f"Best val: {best_val:.4f}, best test: {best_test:.4f}")
         self.state = state
         return best_test
+
+    def _on_best(self, state: TrainState) -> None:
+        """Hook called whenever validation accuracy improves (subclasses track
+        best-epoch outputs, e.g. Correct&Smooth)."""
 
     def _postprocess(self, state: TrainState, labels, val_idx, test_idx):
         ds, model = self._dataset, self._model

@@ -1,0 +1,267 @@
+"""Node clustering tasks (reference ``sgl/tasks/node_clustering.py:12-258``).
+
+``NodeClustering``: per-epoch KMeans on model embeddings + the reference's
+cluster loss driving a jitted gradient step.  ``NodeClusteringNAFS``:
+training-free multi-hop NAFS smoothing with an r-ensemble, fully vectorized
+(the reference's per-node Python loops become einsums; per-r propagation is
+one jitted k-hop scan).
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from sklearn.cluster import KMeans
+
+from sgl_tpu.graph.normalize import symmetric_normalized_weights
+from sgl_tpu.ops.graph_ops import k_hop_propagate
+from sgl_tpu.tasks.base_task import BaseTask
+from sgl_tpu.tasks.clustering_metrics import clustering_metrics
+from sgl_tpu.tasks.node_classification import _make_apply
+from sgl_tpu.tasks.utils import TrainState, adam_l2, init_train_state, set_seed
+
+
+def cluster_loss(train_output, y_pred, cluster_centers):
+    """Reference ``tasks/utils.py:101-113``: pull embeddings toward their
+    assigned centroid, push from the mean distance."""
+    dist = jnp.linalg.norm(
+        train_output[:, None, :] - cluster_centers[None, :, :], axis=-1
+    )  # (N, C)
+    picked = jnp.take_along_axis(dist, y_pred[:, None], axis=1).squeeze(1)
+    loss = -dist.mean(axis=1).sum() + 2.0 * picked.sum()
+    return loss / dist.shape[0]
+
+
+class NodeClustering(BaseTask):
+    def __init__(
+        self,
+        dataset,
+        model,
+        lr: float,
+        weight_decay: float,
+        epochs: int,
+        device=None,
+        loss_fn=cluster_loss,
+        seed: int = 42,
+        train_batch_size=None,
+        eval_batch_size=None,
+        n_init: int = 20,
+        verbose: bool = True,
+    ):
+        super().__init__()
+        if train_batch_size is not None or eval_batch_size is not None:
+            raise ValueError("clustering task does not support batch training")
+        self._dataset = dataset
+        self._model = model
+        self._lr = lr
+        self._weight_decay = weight_decay
+        self._epochs = epochs
+        self._loss_fn = loss_fn
+        self._seed = seed
+        self._n_clusters = dataset.num_classes
+        self._n_init = n_init
+        self._verbose = verbose
+        self._acc, self._nmi, self._adjscore = self._execute()
+
+    @property
+    def acc(self):
+        return self._acc
+
+    @property
+    def nmi(self):
+        return self._nmi
+
+    @property
+    def adjscore(self):
+        return self._adjscore
+
+    def _execute(self):
+        ds, model = self._dataset, self._model
+        rng = set_seed(self._seed)
+        t0 = time.time()
+        model.preprocess(ds.graph, ds.x)
+        if self._verbose:
+            print(f"Preprocessing done in {time.time() - t0:.4f}s")
+
+        labels = np.asarray(ds.y).reshape(-1)
+        all_idx = jnp.arange(ds.num_node)
+        feats = model.batch_input(all_idx)
+        params = model.init(rng)
+        has_params = len(jax.tree_util.tree_leaves(params)) > 0
+        tx = adam_l2(self._lr, self._weight_decay)
+        state = init_train_state(rng, params, tx)
+        apply_fn = _make_apply(model)
+        loss_fn = self._loss_fn
+
+        @jax.jit
+        def embed(params):
+            return apply_fn(params, feats, train=False, rngs=None)
+
+        @jax.jit
+        def grad_step(state: TrainState, y_pred, centers):
+            rng, dropout = jax.random.split(state.rng)
+
+            def objective(p):
+                out = apply_fn(p, feats, train=True, rngs={"dropout": dropout})
+                return loss_fn(out, y_pred, centers)
+
+            loss, grads = jax.value_and_grad(objective)(state.params)
+            updates, opt_state = tx.update(grads, state.opt_state, state.params)
+            params = optax.apply_updates(state.params, updates)
+            return TrainState(params, opt_state, rng), loss
+
+        best = [0.0, 0.0, 0.0]
+        for epoch in range(self._epochs):
+            t = time.time()
+            out = np.asarray(embed(state.params))
+            km = KMeans(n_clusters=self._n_clusters, n_init=self._n_init)
+            y_pred = km.fit_predict(out)
+            centers = jnp.asarray(km.cluster_centers_)
+            if has_params:
+                state, loss = grad_step(state, jnp.asarray(y_pred), centers)
+                loss = float(loss)
+            else:
+                loss = float(
+                    loss_fn(jnp.asarray(out), jnp.asarray(y_pred), centers)
+                )
+            cm = clustering_metrics(labels, y_pred)
+            acc, nmi, adjscore = cm.evaluationClusterModelFromLabel()
+            if self._verbose:
+                print(
+                    f"Epoch: {epoch + 1:03d} loss_train: {loss:.4f} acc: {acc:.4f} "
+                    f"nmi: {nmi:.4f} adjscore: {adjscore:.4f} time: {time.time() - t:.4f}s"
+                )
+            best = [max(b, v) for b, v in zip(best, (acc, nmi, adjscore))]
+
+        # postprocess: cluster the final (optionally post-propagated) embeddings
+        out = embed(state.params)
+        final = self._model.postprocess(ds.graph, out)
+        km = KMeans(n_clusters=self._n_clusters, n_init=self._n_init)
+        y_pred = km.fit_predict(np.asarray(final))
+        acc, nmi, adjscore = clustering_metrics(
+            labels, y_pred
+        ).evaluationClusterModelFromLabel()
+        best = [max(b, v) for b, v in zip(best, (acc, nmi, adjscore))]
+        if self._verbose:
+            print(
+                f"Best acc: {best[0]:.4f}, best_nmi: {best[1]:.4f}, "
+                f"best_adjscore: {best[2]:.4f}"
+            )
+        return tuple(best)
+
+
+def nafs_smooth_features(
+    graph, x, hops: int, r_list: Sequence[float], method: str
+) -> jnp.ndarray:
+    """NAFS hop-adaptive smoothing with an r-ensemble, vectorized
+    (reference loops at ``node_clustering.py:205-252`` / ``link_prediction.py:233-280``).
+
+    For each r: propagate ``hops`` steps, weight hops per node by softmaxed
+    cosine similarity to hop 0; then ensemble over r by mean/max/concat
+    ('simple' = last hop of the first r, no weighting).
+    """
+    x = jnp.asarray(x, jnp.float32)
+    per_r = []
+    for r in r_list:
+        adj = symmetric_normalized_weights(graph, r=r)
+        hops_arr = k_hop_propagate(adj, x, hops)  # (hops+1, N, D)
+        if method == "simple":
+            return hops_arr[-1]
+        ref_norm = jnp.linalg.norm(x, axis=1) + 1e-10
+        norms = jnp.linalg.norm(hops_arr, axis=-1) + 1e-10  # (K+1, N)
+        cos = jnp.einsum("nd,knd->kn", x, hops_arr) / (norms * ref_norm[None])
+        w = jax.nn.softmax(cos, axis=0)
+        per_r.append(jnp.einsum("kn,knd->nd", w, hops_arr))
+    stack = jnp.stack(per_r)  # (R, N, D)
+    if method == "mean":
+        return stack.mean(axis=0)
+    if method == "max":
+        return stack.max(axis=0)
+    if method == "concat":
+        return jnp.moveaxis(stack, 0, 1).reshape(stack.shape[1], -1)
+    raise ValueError("Method not Suppoted! Choose 'mean', 'max' or 'concat' !")
+
+
+class NodeClusteringNAFS(BaseTask):
+    """Training-free NAFS clustering (reference ``node_clustering.py:121-258``)."""
+
+    def __init__(
+        self,
+        dataset,
+        hops=20,
+        method: str = "mean",
+        seed: int = 42,
+        n_init: int = 20,
+        r_list: Sequence[float] = (0.5, 0.4, 0.3, 0.2, 0.1, 0.0),
+        verbose: bool = True,
+    ):
+        super().__init__()
+        method = method.lower()
+        if method not in ("mean", "max", "concat", "simple"):
+            raise ValueError(
+                "Method not Suppoted! Choose 'mean', 'max' or 'concat' !"
+            )
+        self._dataset = dataset
+        self._method = method
+        self._r_list = list(r_list)
+        self._hops = range(hops) if isinstance(hops, int) else hops
+        self._seed = seed
+        self._n_clusters = dataset.num_classes
+        self._n_init = n_init
+        self._verbose = verbose
+        (
+            self._best_hop_acc,
+            self._best_hop_nmi,
+            self._best_hop_adjscore,
+            self._acc,
+            self._nmi,
+            self._adjscore,
+        ) = self._execute()
+
+    acc = property(lambda self: self._acc)
+    nmi = property(lambda self: self._nmi)
+    adjscore = property(lambda self: self._adjscore)
+    best_hop_acc = property(lambda self: self._best_hop_acc)
+    best_hop_nmi = property(lambda self: self._best_hop_nmi)
+    best_hop_adjscore = property(lambda self: self._best_hop_adjscore)
+
+    def _execute(self):
+        set_seed(self._seed)
+        ds = self._dataset
+        labels = np.asarray(ds.y).reshape(-1)
+        best = {"acc": (0, 0.0), "nmi": (0, 0.0), "ari": (0, 0.0)}
+        for hop in self._hops:
+            t = time.time()
+            feats = nafs_smooth_features(
+                ds.graph, ds.x, hop, self._r_list, self._method
+            )
+            km = KMeans(
+                n_clusters=self._n_clusters,
+                n_init=self._n_init,
+                random_state=self._seed,
+            )
+            y_pred = km.fit_predict(np.asarray(feats))
+            acc, nmi, ari = clustering_metrics(
+                labels, y_pred
+            ).evaluationClusterModelFromLabel()
+            if self._verbose:
+                print(
+                    f"hops:{hop:2d} acc: {acc:.4f} nmi: {nmi:.4f} "
+                    f"adjscore: {ari:.4f} time: {time.time() - t:.4f} seconds"
+                )
+            for key, v in zip(("acc", "nmi", "ari"), (acc, nmi, ari)):
+                if v > best[key][1]:
+                    best[key] = (hop, v)
+        return (
+            best["acc"][0],
+            best["nmi"][0],
+            best["ari"][0],
+            best["acc"][1],
+            best["nmi"][1],
+            best["ari"][1],
+        )
