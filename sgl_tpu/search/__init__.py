@@ -1,0 +1,10 @@
+from sgl_tpu.search.search_models import SearchModel
+from sgl_tpu.search.auto_search import SearchManager
+from sgl_tpu.search.search_config import ConfigManager, ARCH_KEYS
+from sgl_tpu.search.smbo import (
+    run_nas,
+    RandomSearch,
+    EvolutionarySearch,
+    History,
+    Trial,
+)

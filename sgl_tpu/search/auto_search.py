@@ -1,0 +1,126 @@
+"""NAS inner training loop (reference ``sgl/search/auto_search.py:11-96``).
+
+Trains a candidate architecture with restarts, checkpoints the best params
+(in memory; optionally serialized to disk — the reference ``torch.save``s the
+whole model to ``./best.pt``), and returns the NAS objective pair
+``(best_test_acc, preprocess_time + inference_time)``.
+"""
+
+from __future__ import annotations
+
+import os
+import pickle
+import time
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from sgl_tpu.tasks.node_classification import _make_apply
+from sgl_tpu.tasks.utils import (
+    adam_l2,
+    init_train_state,
+    make_eval_step,
+    make_logits_fn,
+    make_train_step,
+    set_seed,
+)
+
+
+class SearchManager:
+    def __init__(
+        self,
+        dataset,
+        model,
+        lr: float,
+        weight_decay: float,
+        epochs: int,
+        device=None,
+        seed: int = 42,
+        restarts: int = 10,
+        checkpoint_path: Optional[str] = None,
+        verbose: bool = False,
+    ):
+        self._dataset = dataset
+        self._model = model
+        self._lr = lr
+        self._weight_decay = weight_decay
+        self._epochs = epochs
+        self._seed = seed
+        self._restarts = restarts
+        self._checkpoint_path = checkpoint_path
+        self._verbose = verbose
+
+    def _execute(self):
+        ds, model = self._dataset, self._model
+        rng = set_seed(self._seed)
+
+        t0 = time.time()
+        model.preprocess(ds.graph, ds.x)
+        jax.block_until_ready(model.processed_feature)
+        time_preprocess = time.time() - t0
+
+        labels = jnp.asarray(np.asarray(ds.y).reshape(-1), jnp.int32)
+        train_idx = jnp.asarray(np.asarray(ds.train_idx))
+        val_idx = jnp.asarray(np.asarray(ds.val_idx))
+        test_idx = jnp.asarray(np.asarray(ds.test_idx))
+
+        params = model.init(rng)
+        tx = adam_l2(self._lr, self._weight_decay)
+        state = init_train_state(rng, params, tx)
+        apply_fn = _make_apply(model)
+        train_step = make_train_step(apply_fn, tx)
+        eval_step = make_eval_step(apply_fn)
+
+        tr_feats = model.batch_input(train_idx)
+        va_feats = model.batch_input(val_idx)
+        te_feats = model.batch_input(test_idx)
+        tr_w = jnp.ones(train_idx.shape[0], jnp.float32)
+        va_w = jnp.ones(val_idx.shape[0], jnp.float32)
+        te_w = jnp.ones(test_idx.shape[0], jnp.float32)
+
+        best_val, best_test = 0.0, 0.0
+        best_params = state.params
+        for _ in range(self._restarts):
+            for epoch in range(self._epochs):
+                state, loss, acc = train_step(
+                    state, tr_feats, labels[train_idx], tr_w
+                )
+                cv, tv = eval_step(state.params, va_feats, labels[val_idx], va_w)
+                ct, tt = eval_step(state.params, te_feats, labels[test_idx], te_w)
+                acc_val = float(cv) / float(tv)
+                acc_test = float(ct) / float(tt)
+                if acc_val > best_val:
+                    best_val, best_test = acc_val, acc_test
+                    best_params = state.params
+                    if self._checkpoint_path:
+                        self._save(best_params)
+
+        acc_val, acc_test, time_forward = self._postprocess(best_params, labels, val_idx, test_idx)
+        if acc_val > best_val:
+            best_val, best_test = acc_val, acc_test
+        if self._verbose:
+            print(f"Best val: {best_val:.4f}, best test: {best_test:.4f}")
+        return best_test, time_preprocess + time_forward
+
+    def _postprocess(self, params, labels, val_idx, test_idx):
+        ds, model = self._dataset, self._model
+        logits_fn = make_logits_fn(_make_apply(model))
+        t0 = time.time()
+        all_idx = jnp.arange(ds.num_node)
+        output = logits_fn(params, model.batch_input(all_idx))
+        final = model.postprocess(ds.graph, output)
+        jax.block_until_ready(final)
+        time_forward = time.time() - t0
+        acc_val = float(jnp.mean(jnp.argmax(final[val_idx], axis=1) == labels[val_idx]))
+        acc_test = float(
+            jnp.mean(jnp.argmax(final[test_idx], axis=1) == labels[test_idx])
+        )
+        return acc_val, acc_test, time_forward
+
+    def _save(self, params):
+        path = self._checkpoint_path
+        os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+        with open(path, "wb") as f:
+            pickle.dump(jax.tree.map(np.asarray, params), f)

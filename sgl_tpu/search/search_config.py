@@ -1,0 +1,98 @@
+"""NAS configuration space + objective (reference ``sgl/search/search_config.py:13-57``,
+which ships unresolved merge-conflict markers at ``:2-6`` — not replicated).
+
+The 7-integer space and the multi-objective ``[-acc, time]`` result dict
+match the reference.  The optimizer is behind an interface: OpenBox (if
+installed) via ``openbox_space()``, otherwise the built-in optimizers in
+``sgl_tpu.search.smbo``.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, List, Sequence, Tuple
+
+import numpy as np
+
+from sgl_tpu.search.auto_search import SearchManager
+from sgl_tpu.search.search_models import SearchModel
+
+ARCH_KEYS = (
+    "prop_steps",
+    "prop_types",
+    "mesg_types",
+    "num_layers",
+    "post_steps",
+    "post_types",
+    "pmsg_types",
+)
+
+
+@dataclasses.dataclass
+class ConfigManager:
+    """Holds the integer ranges, mutates the arch vector per trial, and
+    evaluates the objective via :class:`SearchManager`."""
+
+    arch: List[int]
+    prop_steps: Tuple[int, int] = (1, 10)
+    prop_types: Tuple[int, int] = (1, 4)
+    mesg_types: Tuple[int, int] = (0, 8)
+    num_layers: Tuple[int, int] = (1, 10)
+    post_steps: Tuple[int, int] = (1, 10)
+    post_types: Tuple[int, int] = (1, 4)
+    pmsg_types: Tuple[int, int] = (0, 5)
+
+    def _setParameters(self, dataset, device, hiddim, epochs, lr, wd, restarts=10):  # noqa: N802
+        self._dataset = dataset
+        self._hiddim = hiddim
+        self._epochs = epochs
+        self._lr = lr
+        self._wd = wd
+        self._restarts = restarts
+
+    @property
+    def ranges(self) -> Dict[str, Tuple[int, int]]:
+        return {k: getattr(self, k) for k in ARCH_KEYS}
+
+    def sample(self, rng: np.random.Generator) -> Dict[str, int]:
+        return {
+            k: int(rng.integers(lo, hi + 1)) for k, (lo, hi) in self.ranges.items()
+        }
+
+    def _configSpace(self):  # noqa: N802
+        """OpenBox ConfigurationSpace when available (optional dependency)."""
+        from openbox.utils.config_space import (  # type: ignore
+            ConfigurationSpace,
+            UniformIntegerHyperparameter,
+        )
+
+        space = ConfigurationSpace()
+        space.add_hyperparameters(
+            [
+                UniformIntegerHyperparameter(k, lo, hi)
+                for k, (lo, hi) in self.ranges.items()
+            ]
+        )
+        return space
+
+    def _configTarget(self, arch: Sequence[int]) -> Dict:  # noqa: N802
+        model = SearchModel(
+            arch,
+            self._dataset.num_features,
+            int(self._dataset.num_classes),
+            self._hiddim,
+        )
+        acc, elapsed = SearchManager(
+            self._dataset,
+            model,
+            lr=self._lr,
+            weight_decay=self._wd,
+            epochs=self._epochs,
+            restarts=self._restarts,
+        )._execute()
+        return {"objs": np.stack([-acc, elapsed], axis=-1)}
+
+    def _configFunction(self, config) -> Dict:  # noqa: N802
+        for i, k in enumerate(ARCH_KEYS):
+            self.arch[i] = int(config[k])
+        return self._configTarget(self.arch)
