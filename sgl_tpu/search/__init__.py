@@ -8,3 +8,8 @@ from sgl_tpu.search.smbo import (
     History,
     Trial,
 )
+from sgl_tpu.search.auto_search_dist import (
+    SearchManagerDist,
+    SearchModelDist,
+    ConfigManagerDist,
+)

@@ -17,3 +17,4 @@ from sgl_tpu.tasks.node_classification_with_label_use import (
     NodeClassificationWithLabelUse,
 )
 from sgl_tpu.tasks.hetero_node_classification import HeteroNodeClassification
+from sgl_tpu.tasks.node_classification_dist import NodeClassificationDist

@@ -1,0 +1,167 @@
+"""Distributed node classification (reference ``sgl/tasks/node_classification_dist.py:27-124``).
+
+The reference spawns one process per GPU with NCCL DDP over the MLP, and
+famously *discards* the spawned workers' trained weights (SURVEY.md §3.2).
+Here distribution is declarative: one process, one ``(data, graph)`` mesh —
+pre-propagation runs ring-edge-partitioned over the ``graph`` axis, training
+runs data-parallel over ``data`` with grads psum'd by GSPMD, and the updated
+replicated state IS the result.  Multi-host: call
+``jax.distributed.initialize()`` first; nothing else changes.
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from sgl_tpu.models.base import SGAPModel, SGAPNet, eager_aggregate
+from sgl_tpu.tasks.base_task import BaseTask
+from sgl_tpu.tasks.utils import (
+    adam_l2,
+    batch_iterator,
+    init_train_state,
+    set_seed,
+    weighted_cross_entropy,
+)
+
+
+class NodeClassificationDist(BaseTask):
+    def __init__(
+        self,
+        dataset,
+        model: SGAPModel,
+        lr: float,
+        weight_decay: float,
+        epochs: int,
+        mesh_shape: Optional[Tuple[int, int]] = None,
+        loss_fn=weighted_cross_entropy,
+        seed: int = 42,
+        train_batch_size: Optional[int] = None,
+        verbose: bool = True,
+    ):
+        super().__init__()
+        self._dataset = dataset
+        self._model = model
+        self._lr = lr
+        self._weight_decay = weight_decay
+        self._epochs = epochs
+        self._loss_fn = loss_fn
+        self._seed = seed
+        self._train_batch_size = train_batch_size
+        self._verbose = verbose
+        # deferred import: sgl_tpu.parallel imports tasks.utils, which would
+        # cycle through the tasks package __init__
+        from sgl_tpu.parallel import make_mesh
+
+        self._mesh = make_mesh(mesh_shape)
+        self._test_acc = self._execute()
+
+    test_acc = property(lambda self: self._test_acc)
+
+    def _execute(self) -> float:
+        from sgl_tpu.parallel import (
+            k_hop_propagate_dist,
+            make_parallel_train_step,
+            partition_adj,
+            replicate_state,
+        )
+
+        ds, model, mesh = self._dataset, self._model, self._mesh
+        rng = set_seed(self._seed)
+        np_rng = np.random.default_rng(self._seed)
+        n_graph = mesh.shape["graph"]
+
+        # stage 1: distributed pre-propagation over the graph axis
+        t0 = time.time()
+        adj = model.pre_graph_op.construct_adj(ds.graph)
+        dadj = partition_adj(adj, n_graph)
+        hops = k_hop_propagate_dist(
+            mesh, dadj, ds.x, model.pre_graph_op.prop_steps, axis="graph"
+        )
+        if model.pre_msg_learnable:
+            model.processed_feature = hops
+        else:
+            model.processed_feature = eager_aggregate(model.pre_msg_op, hops)
+        if self._verbose:
+            print(f"Distributed preprocessing done in {time.time() - t0:.4f}s")
+
+        labels = jnp.asarray(np.asarray(ds.y).reshape(-1), jnp.int32)
+        train_idx = np.asarray(ds.train_idx)
+        val_idx = np.asarray(ds.val_idx)
+        test_idx = np.asarray(ds.test_idx)
+
+        # stage 2: data-parallel training
+        net = model.net
+        params = model.init(rng)
+        tx = adam_l2(self._lr, self._weight_decay)
+        state = replicate_state(init_train_state(rng, params, tx), mesh)
+        step, shard_batch = make_parallel_train_step(
+            lambda p, f, train, rngs: net.apply(p, f, train=train, rngs=rngs),
+            tx,
+            mesh,
+            loss_fn=self._loss_fn,
+        )
+
+        @jax.jit
+        def logits_of(params, feats):
+            return net.apply(params, feats, train=False)
+
+        def eval_acc(params, idx):
+            feats = model.batch_input(jnp.asarray(idx))
+            lg = logits_of(params, feats)
+            return float(
+                jnp.mean(jnp.argmax(lg, axis=1) == labels[jnp.asarray(idx)])
+            )
+
+        best_val, best_test = 0.0, 0.0
+        for epoch in range(self._epochs):
+            t = time.time()
+            losses = []
+            for b_idx, w in batch_iterator(
+                train_idx, self._train_batch_size, shuffle=True, rng=np_rng
+            ):
+                feats = model.batch_input(jnp.asarray(b_idx))
+                f, l, wj = shard_batch(
+                    feats, labels[jnp.asarray(b_idx)], jnp.asarray(w)
+                )
+                state, loss, acc = step(state, f, l, wj)
+                losses.append(float(loss))
+            acc_val = eval_acc(state.params, val_idx)
+            acc_test = eval_acc(state.params, test_idx)
+            if self._verbose:
+                print(
+                    f"Epoch: {epoch + 1:03d} loss_train: {np.mean(losses):.4f} "
+                    f"acc_val: {acc_val:.4f} acc_test: {acc_test:.4f} "
+                    f"time: {time.time() - t:.4f}s"
+                )
+            if acc_val > best_val:
+                best_val, best_test = acc_val, acc_test
+
+        # stage 3: post-propagation (distributed, same ring partition)
+        if model.post_graph_op is not None:
+            all_idx = jnp.arange(ds.num_node)
+            outputs = logits_of(state.params, model.batch_input(all_idx))
+            probs = jax.nn.softmax(outputs, axis=1)
+            post_adj = model.post_graph_op.construct_adj(ds.graph)
+            post_dadj = partition_adj(post_adj, n_graph)
+            post_hops = k_hop_propagate_dist(
+                mesh, post_dadj, probs, model.post_graph_op.prop_steps, axis="graph"
+            )
+            final = eager_aggregate(model.post_msg_op, post_hops)
+            acc_val = float(
+                jnp.mean(jnp.argmax(final[jnp.asarray(val_idx)], 1) == labels[jnp.asarray(val_idx)])
+            )
+            acc_test = float(
+                jnp.mean(jnp.argmax(final[jnp.asarray(test_idx)], 1) == labels[jnp.asarray(test_idx)])
+            )
+            if acc_val > best_val:
+                best_val, best_test = acc_val, acc_test
+
+        if self._verbose:
+            print(f"Best val: {best_val:.4f}, best test: {best_test:.4f}")
+        self.state = state  # trained weights are kept, not discarded
+        return best_test

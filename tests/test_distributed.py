@@ -121,3 +121,33 @@ def test_full_2d_mesh_pipeline():
     f, l, w = shard_batch(hops, labels, jnp.ones(128, jnp.float32))
     state, loss, acc = step(state, f, l, w)
     assert np.isfinite(float(loss))
+
+
+def test_node_classification_dist_task():
+    """Full distributed task on a (2,4) mesh: ring precompute + DP training
+    + distributed post-propagation; weights kept (unlike the reference)."""
+    from sgl_tpu.datasets.synthetic import PlantedPartition
+    from sgl_tpu.models.homo import PASCA_V3
+    from sgl_tpu.tasks.node_classification_dist import NodeClassificationDist
+
+    ds = PlantedPartition(num_nodes=256, feat_dim=8, p_in=0.08, seed=9)
+    model = PASCA_V3(2, 2, ds.num_features, ds.num_classes, hidden_dim=16, num_layers=2)
+    task = NodeClassificationDist(
+        ds, model, lr=0.05, weight_decay=5e-5, epochs=10,
+        mesh_shape=(2, 4), verbose=False,
+    )
+    assert task.test_acc > 0.6, task.test_acc
+    assert task.state is not None
+
+
+def test_dist_nas_inner_loop():
+    from sgl_tpu.datasets.synthetic import PlantedPartition
+    from sgl_tpu.search import SearchManagerDist, SearchModelDist
+
+    ds = PlantedPartition(num_nodes=128, feat_dim=8, p_in=0.1, seed=10)
+    model = SearchModelDist([2, 1, 0, 1, 0, 0, 0], ds.num_features, ds.num_classes, 16)
+    acc, elapsed = SearchManagerDist(
+        ds, model, lr=0.1, weight_decay=5e-5, epochs=8, mesh_shape=(2, 4)
+    )._execute()
+    assert acc > 0.6, acc
+    assert elapsed > 0

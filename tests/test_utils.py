@@ -1,0 +1,71 @@
+"""Utility subsystem tests: config, profiling, checkpoint/resume."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from sgl_tpu.graph import symmetric_normalized_weights
+from sgl_tpu.kernels import spmm
+from sgl_tpu.ops.graph_ops import k_hop_propagate
+from sgl_tpu.tasks.utils import adam_l2, init_train_state
+from sgl_tpu.utils import (
+    HopCheckpointer,
+    StageTimer,
+    TrainConfig,
+    device_with_max_free_mem,
+    load_train_state,
+    save_train_state,
+)
+from tests.conftest import random_graph
+
+
+def test_train_config_roundtrip():
+    cfg = TrainConfig(lr=0.05, epochs=10)
+    assert TrainConfig.from_json(cfg.to_json()) == cfg
+    cfg2 = TrainConfig.from_args(["--lr", "0.2", "--epochs", "7"])
+    assert cfg2.lr == 0.2 and cfg2.epochs == 7
+
+
+def test_stage_timer():
+    t = StageTimer()
+    with t.stage("pre"):
+        pass
+    with t.stage("train"):
+        pass
+    with t.stage("train"):
+        pass
+    assert t.counts["train"] == 2
+    assert t.total("pre", "train") >= 0
+    assert "pre=" in t.summary()
+
+
+def test_hop_checkpoint_resume(tmp_path):
+    g = random_graph(n=50, seed=2)
+    adj = symmetric_normalized_weights(g)
+    x = jnp.asarray(g.x)
+    ck = HopCheckpointer(str(tmp_path / "hops"))
+    full = np.asarray(ck.propagate_resumable(adj, x, 3))
+    want = np.asarray(k_hop_propagate(adj, x, 3))
+    np.testing.assert_allclose(full, want, rtol=1e-5, atol=1e-6)
+    # simulate a crash after hop 2: drop hop 3, resume recomputes only hop 3
+    import os
+    os.remove(str(tmp_path / "hops" / "hop_3.npy"))
+    assert ck.last_completed_hop() == 2
+    resumed = np.asarray(ck.propagate_resumable(adj, x, 3))
+    np.testing.assert_allclose(resumed, want, rtol=1e-5, atol=1e-6)
+
+
+def test_train_state_checkpoint(tmp_path):
+    params = {"w": jnp.ones((3, 2)), "b": jnp.zeros(2)}
+    tx = adam_l2(0.1, 0.0)
+    state = init_train_state(jax.random.PRNGKey(0), params, tx)
+    path = str(tmp_path / "ck" / "state.pkl")
+    save_train_state(path, state)
+    restored = load_train_state(path, state)
+    for a, b in zip(jax.tree.leaves(state), jax.tree.leaves(restored)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_device_chooser():
+    d = device_with_max_free_mem()
+    assert d is not None
