@@ -101,8 +101,15 @@ class Graph:
             raise ValueError("dst indices out of range")
         num_edges = int(src.shape[0])
         if sort and num_edges:
-            order = np.lexsort((src, dst))
-            src, dst, val = src[order], dst[order], val[order]
+            if num_edges > 1_000_000:
+                # OpenMP counting sort (csrc/graph_builder.cpp); only dst
+                # order matters for the kernels, src sub-order is free
+                from sgl_tpu.graph import native
+
+                src, dst, val = native.sort_edges_by_dst(src, dst, val, num_nodes)
+            else:
+                order = np.lexsort((src, dst))
+                src, dst, val = src[order], dst[order], val[order]
         pad = pad_amount(num_edges, pad_multiple)
         if pad:
             src = np.concatenate([src, np.zeros(pad, np.int32)])

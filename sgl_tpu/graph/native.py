@@ -1,0 +1,144 @@
+"""ctypes bridge to the native graph builder (``csrc/graph_builder.cpp``).
+
+The analog of the reference's ctypes bridge (``sgl/operators/utils.py:10-74``)
+but for host-side graph *construction* — on TPU the SpMM itself is Pallas,
+so the native layer accelerates what stays on the host: edge sorting,
+degrees, normalization for billion-edge graphs.  Compiles on first use with
+g++ -O3 -fopenmp; every entry point has a numpy fallback so the framework
+works without a toolchain.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+from typing import Optional, Tuple
+
+import numpy as np
+import numpy.ctypeslib as ctl
+
+_CSRC_DIR = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "csrc")
+_SO_PATH = os.path.join(_CSRC_DIR, "libsglgraph.so")
+_SRC_PATH = os.path.join(_CSRC_DIR, "graph_builder.cpp")
+
+_lib: Optional[ctypes.CDLL] = None
+_lib_failed = False
+
+
+def _build() -> bool:
+    try:
+        subprocess.run(
+            [
+                "g++", "-O3", "-march=native", "-fopenmp", "-shared", "-fPIC",
+                "-o", _SO_PATH, _SRC_PATH,
+            ],
+            check=True,
+            capture_output=True,
+            timeout=120,
+        )
+        return True
+    except Exception:
+        return False
+
+
+def _load() -> Optional[ctypes.CDLL]:
+    global _lib, _lib_failed
+    if _lib is not None or _lib_failed:
+        return _lib
+    if not os.path.exists(_SO_PATH) or os.path.getmtime(_SO_PATH) < os.path.getmtime(_SRC_PATH):
+        if not _build():
+            _lib_failed = True
+            return None
+    try:
+        lib = ctl.load_library("libsglgraph.so", _CSRC_DIR)
+    except OSError:
+        _lib_failed = True
+        return None
+    i32 = ctl.ndpointer(np.int32, flags="C_CONTIGUOUS")
+    f32 = ctl.ndpointer(np.float32, flags="C_CONTIGUOUS")
+    lib.sgl_sort_edges_by_dst.argtypes = [
+        i32, i32, f32, ctypes.c_int64, ctypes.c_int32, i32, i32, f32,
+    ]
+    lib.sgl_compute_degrees.argtypes = [i32, f32, ctypes.c_int64, ctypes.c_int32, f32]
+    lib.sgl_normalized_weights.argtypes = [
+        i32, i32, f32, ctypes.c_int64, f32, ctypes.c_float, f32,
+    ]
+    _lib = lib
+    return _lib
+
+
+def native_available() -> bool:
+    return _load() is not None
+
+
+def sort_edges_by_dst(
+    src: np.ndarray, dst: np.ndarray, val: np.ndarray, num_nodes: int
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Stable parallel sort of COO edges by dst (numpy lexsort fallback)."""
+    src = np.ascontiguousarray(src, np.int32)
+    dst = np.ascontiguousarray(dst, np.int32)
+    val = np.ascontiguousarray(val, np.float32)
+    lib = _load()
+    if lib is None:
+        order = np.argsort(dst, kind="stable")
+        return src[order], dst[order], val[order]
+    n = src.shape[0]
+    out_src = np.empty(n, np.int32)
+    out_dst = np.empty(n, np.int32)
+    out_val = np.empty(n, np.float32)
+    lib.sgl_sort_edges_by_dst(src, dst, val, n, num_nodes, out_src, out_dst, out_val)
+    return out_src, out_dst, out_val
+
+
+def compute_degrees(src: np.ndarray, val: np.ndarray, num_nodes: int) -> np.ndarray:
+    src = np.ascontiguousarray(src, np.int32)
+    val = np.ascontiguousarray(val, np.float32)
+    lib = _load()
+    if lib is None:
+        deg = np.zeros(num_nodes, np.float32)
+        np.add.at(deg, src, val)
+        return deg
+    deg = np.zeros(num_nodes, np.float32)
+    lib.sgl_compute_degrees(src, val, src.shape[0], num_nodes, deg)
+    return deg
+
+
+def normalized_weights(
+    src: np.ndarray, dst: np.ndarray, val: np.ndarray, deg: np.ndarray, r: float
+) -> np.ndarray:
+    src = np.ascontiguousarray(src, np.int32)
+    dst = np.ascontiguousarray(dst, np.int32)
+    val = np.ascontiguousarray(val, np.float32)
+    deg = np.ascontiguousarray(deg, np.float32)
+    lib = _load()
+    if lib is None:
+        with np.errstate(divide="ignore"):
+            left = np.where(deg > 0, deg ** (r - 1.0), 0.0)
+            right = np.where(deg > 0, deg ** (-r), 0.0)
+        return (left[dst] * val * right[src]).astype(np.float32)
+    out = np.empty(src.shape[0], np.float32)
+    lib.sgl_normalized_weights(src, dst, val, src.shape[0], deg, r, out)
+    return out
+
+
+def build_normalized_adj_host(
+    src: np.ndarray,
+    dst: np.ndarray,
+    val: np.ndarray,
+    num_nodes: int,
+    r: float = 0.5,
+):
+    """Full host-side normalized-adjacency build for huge graphs:
+    append self loops, compute degrees, normalize, sort by dst — all in the
+    native library.  Returns (src, dst, w) dst-sorted, ready for
+    ``SparseAdj(..., sorted_by_dst=True)``."""
+    loop = np.arange(num_nodes, dtype=np.int32)
+    s = np.concatenate([np.asarray(src, np.int32), loop])
+    d = np.concatenate([np.asarray(dst, np.int32), loop])
+    v = np.concatenate(
+        [np.asarray(val, np.float32), np.ones(num_nodes, np.float32)]
+    )
+    deg = compute_degrees(s, v, num_nodes)
+    w = normalized_weights(s, d, v, deg, r)
+    return sort_edges_by_dst(s, d, w, num_nodes)
