@@ -96,7 +96,7 @@ def bench_spmm(n=200_000, avg_deg=25, d=128, iters=3):
     return best, best / ref_eps
 
 
-def bench_gamlp_epoch(n=100_000, d=128, classes=64, hops=3):
+def bench_gamlp_epoch(n=100_000, d=128, classes=64, hops=3, compute_dtype=None):
     """GAMLP full train-step throughput (the reference's 'epochs/sec')."""
     import jax
     import jax.numpy as jnp
@@ -106,7 +106,7 @@ def bench_gamlp_epoch(n=100_000, d=128, classes=64, hops=3):
     from sgl_tpu.tasks.utils import adam_l2, init_train_state, make_train_step
 
     g = random_power_law_graph(n, 20, d, num_classes=classes, seed=1)
-    model = GAMLP(hops, d, classes, hidden_dim=512, num_layers=3)
+    model = GAMLP(hops, d, classes, hidden_dim=512, num_layers=3, compute_dtype=compute_dtype)
     model.preprocess(g, g.x)
     rng = jax.random.PRNGKey(0)
     idx = jnp.arange(n)
@@ -144,8 +144,12 @@ def main():
     log("devices:", jax.devices())
     spmm_eps, vs_ref = bench_spmm()
     try:
+        import jax.numpy as jnp
+
         epochs_per_s = bench_gamlp_epoch()
-        log(f"gamlp_epochs_per_s: {epochs_per_s:.2f}")
+        log(f"gamlp_epochs_per_s[f32]: {epochs_per_s:.2f}")
+        epochs_bf16 = bench_gamlp_epoch(compute_dtype=jnp.bfloat16)
+        log(f"gamlp_epochs_per_s[bf16]: {epochs_bf16:.2f}")
     except Exception as e:
         log(f"gamlp bench failed: {type(e).__name__}: {e}")
     print(

@@ -4,28 +4,30 @@ Replaces the scatter-add half of SpMM (the part XLA serializes worst) with a
 hand-written TPU kernel.  Strategy — nothing like the reference's C kernels
 (``sgl/operators/csrc/matmul.c``), which walk CSR rows on scalar cores:
 
-1. messages ``m_e = w_e * x[src_e]`` are produced by XLA (gather + multiply +
-   hi/lo bf16 split fuse into one pass; the row gather is the measured
-   bottleneck on this chip at ~100M rows/s regardless of row width);
+1. messages ``m_e = w_e * x[src_e]`` are produced by XLA as **two separate
+   bf16 outputs** (hi/lo split of the f32 value).  Separate outputs let the
+   gather → multiply → round pipeline fuse into each output's write; a
+   single concatenated buffer would force an extra materialize+copy pass
+   (measured: the scattered row gather runs at ~240 GB/s when its consumer
+   fuses, ~4x the naive materialized form);
 2. edges are pre-sorted by ``dst`` (``Graph.from_coo`` guarantees this), so
    each 128-row output tile owns a contiguous edge range;
 3. the kernel walks each tile's edge range in ``CHUNK``-edge steps with
    triple-buffered HBM→VMEM DMA and reduces each chunk with
-   ``onehot(dst) @ msgs`` — a (TILE_R × CHUNK) @ (CHUNK × 2D) bf16 matmul on
-   the MXU.  Scatter-add becomes dense matmul, far below the MXU roofline,
-   so the scatter phase is HBM-bound.
+   ``onehot(dst) @ hi + onehot(dst) @ lo`` — (TILE_R × CHUNK) @ (CHUNK × D)
+   bf16 matmuls on the MXU.  Scatter-add becomes dense matmul, far below
+   the MXU roofline, so the scatter phase is HBM-bound.
 
-Precision: messages are stored as a packed ``[hi | lo]`` bf16 pair (same
-bytes as f32); the one-hot is exact in bf16, so ``onehot@hi + onehot@lo``
-reconstructs the f32 segment sum to ~2^-16 relative error with single-pass
-bf16 MXU throughput (6x cheaper than Precision.HIGHEST).
+Precision: the one-hot is exact in bf16 and ``hi + lo`` reconstructs f32 to
+~2^-16 relative error with single-pass bf16 MXU throughput (6x cheaper than
+Precision.HIGHEST).
 
 Layout notes (Mosaic tiling rules): all DMA offsets are CHUNK-aligned, so
-edge arrays are stored chunk-major — msgs as ``(E/CHUNK, CHUNK, 2D)`` bf16
-and dst as ``(E/CHUNK, 1, CHUNK)`` int32 (edge index on lanes) — making
-every DMA slice whole-tile aligned.  Out-of-tile edges inside an aligned
-chunk window match no one-hot row, so no masking is needed; padding edges
-carry ``w == 0``.
+edge arrays are stored chunk-major — ``hi``/``lo`` as ``(E/CHUNK, CHUNK, D)``
+bf16 and ``dst`` as ``(E/CHUNK, 1, CHUNK)`` int32 (edge index on lanes) —
+making every DMA slice whole-tile aligned.  Out-of-tile edges inside an
+aligned chunk window match no one-hot row, so no masking is needed; padding
+edges carry ``w == 0``.
 """
 
 from __future__ import annotations
@@ -40,7 +42,7 @@ from jax.experimental.pallas import tpu as pltpu
 from sgl_tpu.kernels.sparse import SparseAdj
 
 TILE_R = 128  # output rows per grid step (MXU-aligned)
-CHUNK = 2048  # edges per inner DMA/matmul step (1 MB msgs DMA at D=128)
+CHUNK = 2048  # edges per inner DMA/matmul step (512 KB hi+lo DMA at D=128)
 N_BUF = 3  # DMA pipeline depth
 
 
@@ -48,7 +50,9 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
-def _seg_kernel(tile_ptr_ref, dst_ref, msgs_ref, out_ref, msgs_buf, dst_buf, sems, dst_sems):
+def _seg_kernel(
+    tile_ptr_ref, dst_ref, hi_ref, lo_ref, out_ref, hi_buf, lo_buf, dst_buf, sems
+):
     t = pl.program_id(0)
     e0 = tile_ptr_ref[t]
     e1 = tile_ptr_ref[t + 1]
@@ -59,12 +63,9 @@ def _seg_kernel(tile_ptr_ref, dst_ref, msgs_ref, out_ref, msgs_buf, dst_buf, sem
 
     def get_dma(slot, ci):
         return (
-            pltpu.make_async_copy(
-                msgs_ref.at[c0 + ci], msgs_buf.at[slot], sems.at[slot]
-            ),
-            pltpu.make_async_copy(
-                dst_ref.at[c0 + ci], dst_buf.at[slot], dst_sems.at[slot]
-            ),
+            pltpu.make_async_copy(hi_ref.at[c0 + ci], hi_buf.at[slot], sems.at[slot, 0]),
+            pltpu.make_async_copy(lo_ref.at[c0 + ci], lo_buf.at[slot], sems.at[slot, 1]),
+            pltpu.make_async_copy(dst_ref.at[c0 + ci], dst_buf.at[slot], sems.at[slot, 2]),
         )
 
     @pl.when(n_chunks > 0)
@@ -73,52 +74,48 @@ def _seg_kernel(tile_ptr_ref, dst_ref, msgs_ref, out_ref, msgs_buf, dst_buf, sem
 
             @pl.when(s < n_chunks)
             def _():
-                m, d = get_dma(s, s)
-                m.start()
-                d.start()
+                for dma in get_dma(s, s):
+                    dma.start()
 
     row_base = t * TILE_R
-    d2 = out_ref.shape[1]  # = D
 
     def body(ci, acc):
         slot = ci % N_BUF
 
         @pl.when(ci + N_BUF - 1 < n_chunks)
         def _():
-            m, d = get_dma((ci + N_BUF - 1) % N_BUF, ci + N_BUF - 1)
-            m.start()
-            d.start()
+            for dma in get_dma((ci + N_BUF - 1) % N_BUF, ci + N_BUF - 1):
+                dma.start()
 
-        m, d = get_dma(slot, ci)
-        m.wait()
-        d.wait()
+        for dma in get_dma(slot, ci):
+            dma.wait()
 
         local = dst_buf[slot] - row_base  # (1, CHUNK)
         rows = jax.lax.broadcasted_iota(jnp.int32, (TILE_R, CHUNK), 0)
         onehot = (local == rows).astype(jnp.bfloat16)  # (TILE_R, CHUNK)
-        contrib = jax.lax.dot_general(
-            onehot,
-            msgs_buf[slot],
-            dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )  # (TILE_R, 2D): [hi | lo] partial sums
-        return acc + contrib[:, :d2] + contrib[:, d2:]
 
-    out_ref[:] = jax.lax.fori_loop(
-        0, n_chunks, body, jnp.zeros_like(out_ref)
-    )
+        def mm(m):
+            return jax.lax.dot_general(
+                onehot,
+                m,
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+
+        return acc + mm(hi_buf[slot]) + mm(lo_buf[slot])
+
+    out_ref[:] = jax.lax.fori_loop(0, n_chunks, body, jnp.zeros_like(out_ref))
 
 
 @functools.partial(jax.jit, static_argnames=("num_nodes", "interpret"))
-def _segment_reduce_mxu(msgs2, dst, num_nodes: int, interpret: bool = False):
+def _segment_reduce_mxu(hi, lo, dst, num_nodes: int, interpret: bool = False):
     """Sorted-by-dst segment sum via the Pallas kernel.
 
-    msgs2: [E_pad, 2D] bf16 packed [hi | lo] rows (E_pad multiple of CHUNK,
-           D multiple of 128)
+    hi/lo: [E_pad, D] bf16 message halves (E_pad multiple of CHUNK, D
+           multiple of 128)
     dst:   [E_pad] int32 sorted ascending (padding edges at the end)
     """
-    e_pad, d2 = msgs2.shape
-    d = d2 // 2
+    e_pad, d = hi.shape
     assert e_pad % CHUNK == 0 and d % 128 == 0
     n_tiles = pl.cdiv(num_nodes, TILE_R)
     n_pad = n_tiles * TILE_R
@@ -126,7 +123,8 @@ def _segment_reduce_mxu(msgs2, dst, num_nodes: int, interpret: bool = False):
     bounds = jnp.arange(n_tiles + 1, dtype=jnp.int32) * TILE_R
     tile_ptr = jnp.searchsorted(dst, bounds, side="left").astype(jnp.int32)
     # chunk-major layouts so every DMA slice is whole-tile aligned
-    msgs3 = msgs2.reshape(e_pad // CHUNK, CHUNK, d2)
+    hi3 = hi.reshape(e_pad // CHUNK, CHUNK, d)
+    lo3 = lo.reshape(e_pad // CHUNK, CHUNK, d)
     dst3 = dst.reshape(e_pad // CHUNK, 1, CHUNK)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -134,16 +132,17 @@ def _segment_reduce_mxu(msgs2, dst, num_nodes: int, interpret: bool = False):
         grid=(n_tiles,),
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),  # dst3 stays in HBM
-            pl.BlockSpec(memory_space=pl.ANY),  # msgs3 stays in HBM
+            pl.BlockSpec(memory_space=pl.ANY),  # hi3 stays in HBM
+            pl.BlockSpec(memory_space=pl.ANY),  # lo3 stays in HBM
         ],
         out_specs=pl.BlockSpec(
             (TILE_R, d), lambda t, ptr: (t, 0), memory_space=pltpu.VMEM
         ),
         scratch_shapes=[
-            pltpu.VMEM((N_BUF, CHUNK, d2), jnp.bfloat16),
+            pltpu.VMEM((N_BUF, CHUNK, d), jnp.bfloat16),
+            pltpu.VMEM((N_BUF, CHUNK, d), jnp.bfloat16),
             pltpu.VMEM((N_BUF, 1, CHUNK), jnp.int32),
-            pltpu.SemaphoreType.DMA((N_BUF,)),
-            pltpu.SemaphoreType.DMA((N_BUF,)),
+            pltpu.SemaphoreType.DMA((N_BUF, 3)),
         ],
     )
     out = pl.pallas_call(
@@ -152,11 +151,11 @@ def _segment_reduce_mxu(msgs2, dst, num_nodes: int, interpret: bool = False):
         grid_spec=grid_spec,
         interpret=interpret,
         cost_estimate=pl.CostEstimate(
-            flops=2 * e_pad * TILE_R * d2,
-            bytes_accessed=e_pad * (d2 * 2 + 4) + n_pad * d * 4,
+            flops=4 * e_pad * TILE_R * d,
+            bytes_accessed=e_pad * (d * 4 + 4) + n_pad * d * 4,
             transcendentals=0,
         ),
-    )(tile_ptr, dst3, msgs3)
+    )(tile_ptr, dst3, hi3, lo3)
     return out[:num_nodes]
 
 
@@ -182,16 +181,17 @@ def _spmm_pallas_impl(adj: SparseAdj, x: jnp.ndarray, interpret: bool = False) -
     msgs = jnp.take(x, adj.src, axis=0).astype(jnp.float32) * adj.w[:, None]
     if d_pad != d:
         msgs = jnp.pad(msgs, ((0, 0), (0, d_pad - d)))
-    # pack [hi | lo] bf16 (fuses into the gather's output write)
+    # hi/lo bf16 halves as separate arrays: each output's write fuses with
+    # the gather (a concat would force an extra materialize+copy pass)
     hi = msgs.astype(jnp.bfloat16)
     lo = (msgs - hi.astype(jnp.float32)).astype(jnp.bfloat16)
-    msgs2 = jnp.concatenate([hi, lo], axis=1)
     dst = adj.dst
     if e_pad != e:
-        msgs2 = jnp.pad(msgs2, ((0, e_pad - e), (0, 0)))
+        hi = jnp.pad(hi, ((0, e_pad - e), (0, 0)))
+        lo = jnp.pad(lo, ((0, e_pad - e), (0, 0)))
         # pad dst with an out-of-range id so padded edges match no tile row
         dst = jnp.pad(dst, (0, e_pad - e), constant_values=jnp.int32(2**30))
-    out = _segment_reduce_mxu(msgs2, dst, num_nodes=adj.num_nodes, interpret=interpret)
+    out = _segment_reduce_mxu(hi, lo, dst, num_nodes=adj.num_nodes, interpret=interpret)
     return out[:, :d].astype(x.dtype)
 
 

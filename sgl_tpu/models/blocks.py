@@ -48,28 +48,39 @@ class LogisticRegression(nn.Module):
 
 
 class MultiLayerPerceptron(nn.Module):
-    """PReLU + dropout (+ optional BN) MLP (reference ``simple_models.py:103``)."""
+    """PReLU + dropout (+ optional BN) MLP (reference ``simple_models.py:103``).
+
+    ``compute_dtype=jnp.bfloat16`` runs the matmuls in bf16 on the MXU
+    (params stay f32; logits are cast back) — the TPU mixed-precision
+    recipe, opt-in to keep default numerics reference-faithful."""
 
     hidden_dim: int
     num_layers: int
     output_dim: int
     dropout: float = 0.5
     bn: bool = False
+    compute_dtype: Optional[jnp.dtype] = None
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         if self.num_layers < 2:
             raise ValueError("MLP must have at least two layers!")
+        dt = self.compute_dtype
         prelu = PReLU()  # single shared slope across layers, like torch nn.PReLU()
+        if dt is not None:
+            x = x.astype(dt)
         for i in range(self.num_layers - 1):
             x = nn.Dense(
-                self.hidden_dim, kernel_init=_xavier_relu, bias_init=zeros
+                self.hidden_dim, kernel_init=_xavier_relu, bias_init=zeros, dtype=dt
             )(x)
             if self.bn:
-                x = nn.BatchNorm(use_running_average=not train)(x)
+                x = nn.BatchNorm(use_running_average=not train, dtype=dt)(x)
             x = prelu(x)
             x = nn.Dropout(self.dropout, deterministic=not train)(x)
-        return nn.Dense(self.output_dim, kernel_init=_xavier_relu, bias_init=zeros)(x)
+        out = nn.Dense(
+            self.output_dim, kernel_init=_xavier_relu, bias_init=zeros, dtype=dt
+        )(x)
+        return out.astype(jnp.float32) if dt is not None else out
 
 
 class ResMultiLayerPerceptron(nn.Module):

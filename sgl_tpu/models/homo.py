@@ -103,10 +103,18 @@ class GBP(SGAPModel):
 
 
 class GAMLP(SGAPModel):
-    """Laplacian / JK attention / MLP (reference ``homo/gamlp.py:7``)."""
+    """Laplacian / JK attention / MLP (reference ``homo/gamlp.py:7``).
+
+    ``compute_dtype=jnp.bfloat16`` enables mixed-precision MLP matmuls."""
 
     def __init__(
-        self, prop_steps: int, feat_dim: int, output_dim: int, hidden_dim: int, num_layers: int
+        self,
+        prop_steps: int,
+        feat_dim: int,
+        output_dim: int,
+        hidden_dim: int,
+        num_layers: int,
+        compute_dtype=None,
     ):
         super().__init__(
             prop_steps,
@@ -121,7 +129,10 @@ class GAMLP(SGAPModel):
                 feat_dim=feat_dim,
             ),
             base_model=MultiLayerPerceptron(
-                hidden_dim=hidden_dim, num_layers=num_layers, output_dim=output_dim
+                hidden_dim=hidden_dim,
+                num_layers=num_layers,
+                output_dim=output_dim,
+                compute_dtype=compute_dtype,
             ),
         )
 

@@ -195,19 +195,25 @@ class LearnableWeightedMessageOp(MessageOp):
             w = nn.softmax(nn.sigmoid(logits), axis=0)  # over hops, per node
             return jnp.einsum("kb,kbd->bd", w, h)
 
-        if ct == "ori_ref":
-            ref = jnp.broadcast_to(hops[0], (k, b, d))
-            gate_in = jnp.concatenate([ref, h], axis=-1)  # (K, B, 2D)
-            logits = jnp.squeeze(nn.Dense(1)(gate_in), axis=-1)
-            w = nn.softmax(nn.sigmoid(logits), axis=0)
-            return jnp.einsum("kb,kbd->bd", w, h)
-
-        if ct == "jk":
-            all_concat = jnp.moveaxis(hops, 0, 1).reshape(b, -1)  # (B, (K+1)D)
-            ref = jnp.broadcast_to(all_concat[None], (k, b, all_concat.shape[-1]))
-            gate_in = jnp.concatenate([ref, h], axis=-1)
-            logits = jnp.squeeze(nn.Dense(1)(gate_in), axis=-1)
-            w = nn.softmax(nn.sigmoid(logits), axis=0)
+        # ori_ref / jk: gate(concat(reference, hop_k)).  The reference input
+        # is identical for every hop, so the Dense kernel is split — the
+        # reference half is applied ONCE instead of broadcasting and
+        # materializing a (K, B, ref_dim + D) concat (for GAMLP's jk at
+        # full batch that intermediate is gigabytes of HBM traffic).
+        if ct in ("ori_ref", "jk"):
+            if ct == "ori_ref":
+                ref = hops[0]  # (B, D)
+            else:
+                ref = jnp.moveaxis(hops, 0, 1).reshape(b, -1)  # (B, (K+1)D)
+            a_dim = ref.shape[-1]
+            kernel = self.param(
+                "gate_kernel", nn.initializers.lecun_normal(), (a_dim + d, 1)
+            )
+            bias = self.param("gate_bias", nn.initializers.zeros, (1,))
+            ref_logit = ref @ kernel[:a_dim]  # (B, 1), hop-invariant
+            hop_logit = jnp.einsum("kbd,do->kbo", h, kernel[a_dim:])
+            logits = jnp.squeeze(ref_logit[None] + hop_logit + bias, axis=-1)
+            w = nn.softmax(nn.sigmoid(logits), axis=0)  # (K, B)
             return jnp.einsum("kb,kbd->bd", w, h)
 
         raise ValueError(
