@@ -251,3 +251,12 @@ def random_split(
         perm[n_train : n_train + n_val],
         perm[n_train + n_val :],
     )
+
+
+class GraphDataset:
+    """Graph-level task datasets — unimplemented stub, mirroring the
+    reference's empty ``GraphDataset`` (``sgl/data/base_dataset.py:124-126``);
+    SGAP targets node-level tasks."""
+
+    def __init__(self, *args, **kwargs):
+        raise NotImplementedError("graph-level tasks are not implemented")

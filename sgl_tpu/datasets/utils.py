@@ -7,7 +7,6 @@ placed under its ``raw/`` directory.
 
 from __future__ import annotations
 
-import csv
 import gzip
 import os
 import pickle

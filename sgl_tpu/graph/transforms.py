@@ -9,7 +9,7 @@ seeds instead of global torch state.
 
 from __future__ import annotations
 
-from typing import Optional, Tuple
+from typing import Tuple
 
 import numpy as np
 
@@ -112,12 +112,22 @@ def delete_repeated_edges(graph: Graph) -> Graph:
 def sort_edges(graph: Graph, by_src: bool = True) -> Graph:
     """Sort edges by (src, dst) or (dst, src) (reference ``transforms.py:228``).
 
-    Note the canonical ``Graph`` layout is already dst-sorted; this exists for
-    API parity and for building src-major layouts.
+    Note the canonical ``Graph`` layout is already dst-sorted; this exists
+    for API parity and for building src-major layouts, so the result is
+    constructed with ``sort=False`` to preserve the requested order (the
+    SpMM kernels re-sort on demand via ``symmetric_normalized_weights``).
     """
     src, dst, val = graph.edges()
     order = np.lexsort((dst, src)) if by_src else np.lexsort((src, dst))
-    return _rebuild(graph, src[order], dst[order], val[order])
+    return Graph.from_coo(
+        src[order],
+        dst[order],
+        val[order],
+        num_nodes=graph.num_nodes,
+        x=graph.x,
+        y=graph.y,
+        sort=False,
+    )
 
 
 def add_self_loops(graph: Graph, loop_val=None) -> Graph:

@@ -25,12 +25,11 @@ from __future__ import annotations
 
 import dataclasses
 import functools
-from typing import Tuple
 
 import jax
 import jax.numpy as jnp
 import numpy as np
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh, PartitionSpec as P
 
 from sgl_tpu.kernels.sparse import SparseAdj
 

@@ -13,7 +13,7 @@ from typing import Optional, Tuple
 
 import numpy as np
 
-from sgl_tpu.search.search_config import ARCH_KEYS, ConfigManager
+from sgl_tpu.search.search_config import ConfigManager
 from sgl_tpu.search.search_models import SearchModel
 from sgl_tpu.tasks.node_classification_dist import NodeClassificationDist
 

@@ -18,7 +18,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from sgl_tpu.models.base import SGAPModel, SGAPNet, eager_aggregate
+from sgl_tpu.models.base import SGAPModel, eager_aggregate
 from sgl_tpu.tasks.base_task import BaseTask
 from sgl_tpu.tasks.utils import (
     adam_l2,

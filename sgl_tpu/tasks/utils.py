@@ -9,7 +9,6 @@ instead of per-epoch Python driving torch autograd.
 from __future__ import annotations
 
 import random
-from functools import partial
 from typing import Callable, NamedTuple, Optional
 
 import jax

@@ -7,7 +7,7 @@ from __future__ import annotations
 
 import os
 import pickle
-from typing import Any, Optional
+from typing import Any
 
 import jax
 import jax.numpy as jnp
