@@ -64,9 +64,13 @@ def bench_spmm(n=200_000, avg_deg=25, d=128, iters=3):
     x = jnp.asarray(g.x)
     log(f"graph: {g.num_nodes} nodes, {nnz} nnz (incl self loops), d={d}")
 
+    from sgl_tpu.kernels import prepare_chunked
+
+    chunked = prepare_chunked(adj)
     k1, k2 = 6, 16
     results = {}
     for backend in ("segment", "pallas"):
+        a_in = chunked if backend == "pallas" else adj
         try:
             f1 = jax.jit(
                 lambda a, xx, b=backend: k_hop_propagate(a, xx, k1, backend=b)[-1]
@@ -74,8 +78,8 @@ def bench_spmm(n=200_000, avg_deg=25, d=128, iters=3):
             f2 = jax.jit(
                 lambda a, xx, b=backend: k_hop_propagate(a, xx, k2, backend=b)[-1]
             )
-            t1 = timed(lambda: f1(adj, x), iters)
-            t2 = timed(lambda: f2(adj, x), iters)
+            t1 = timed(lambda: f1(a_in, x), iters)
+            t2 = timed(lambda: f2(a_in, x), iters)
             per_hop = (t2 - t1) / (k2 - k1)
             eps = nnz / per_hop
             results[backend] = eps

@@ -1,8 +1,10 @@
 from sgl_tpu.kernels.sparse import SparseAdj, spmm, sddmm, spmm_segment, set_default_backend
-from sgl_tpu.kernels.pallas_spmm import spmm_pallas
+from sgl_tpu.kernels.pallas_spmm import ChunkedAdj, prepare_chunked, spmm_pallas
 
 __all__ = [
     "SparseAdj",
+    "ChunkedAdj",
+    "prepare_chunked",
     "spmm",
     "sddmm",
     "spmm_segment",

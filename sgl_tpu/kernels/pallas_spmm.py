@@ -4,179 +4,220 @@ Replaces the scatter-add half of SpMM (the part XLA serializes worst) with a
 hand-written TPU kernel.  Strategy — nothing like the reference's C kernels
 (``sgl/operators/csrc/matmul.c``), which walk CSR rows on scalar cores:
 
-1. messages ``m_e = w_e * x[src_e]`` are produced by XLA as **two separate
-   bf16 outputs** (hi/lo split of the f32 value).  Separate outputs let the
-   gather → multiply → round pipeline fuse into each output's write; a
-   single concatenated buffer would force an extra materialize+copy pass
-   (measured: the scattered row gather runs at ~240 GB/s when its consumer
-   fuses, ~4x the naive materialized form);
-2. edges are pre-sorted by ``dst`` (``Graph.from_coo`` guarantees this), so
-   each 128-row output tile owns a contiguous edge range;
-3. the kernel walks each tile's edge range in ``CHUNK``-edge steps with
-   triple-buffered HBM→VMEM DMA and reduces each chunk with
-   ``onehot(dst) @ hi + onehot(dst) @ lo`` — (TILE_R × CHUNK) @ (CHUNK × D)
-   bf16 matmuls on the MXU.  Scatter-add becomes dense matmul, far below
-   the MXU roofline, so the scatter phase is HBM-bound.
+1. messages ``m_e = w_e * x[src_e]`` are produced by XLA as two separate
+   bf16 outputs (hi/lo split of the f32 value), letting the gather →
+   multiply → round pipeline fuse into each output's write;
+2. edges are pre-sorted by ``dst`` and **chunk-aligned per output tile** on
+   the host (:func:`prepare_chunked`): each 128-row output tile's edge
+   range is padded to whole ``CHUNK``-edge chunks, so every chunk belongs
+   to exactly one tile — no boundary-window re-reads, no masking (padding
+   edges carry ``w == 0``);
+3. the kernel is a plain pipelined grid over chunks: Pallas streams each
+   chunk's hi/lo/dst blocks HBM→VMEM automatically (double-buffered), the
+   chunk reduces via ``onehot(dst) @ hi + onehot(dst) @ lo`` — a
+   (TILE_R × CHUNK) @ (CHUNK × D) bf16 MXU matmul — and accumulates into
+   the tile's output block, which stays VMEM-resident across the tile's
+   consecutive chunks (output-block revisiting).
+
+Scatter-add becomes dense matmul, far below the MXU roofline, so the
+scatter phase is HBM-bound; the measured end-to-end bound is the XLA row
+gather in step 1 (~2.5 ns/row on v5e).
 
 Precision: the one-hot is exact in bf16 and ``hi + lo`` reconstructs f32 to
-~2^-16 relative error with single-pass bf16 MXU throughput (6x cheaper than
-Precision.HIGHEST).
-
-Layout notes (Mosaic tiling rules): all DMA offsets are CHUNK-aligned, so
-edge arrays are stored chunk-major — ``hi``/``lo`` as ``(E/CHUNK, CHUNK, D)``
-bf16 and ``dst`` as ``(E/CHUNK, 1, CHUNK)`` int32 (edge index on lanes) —
-making every DMA slice whole-tile aligned.  Out-of-tile edges inside an
-aligned chunk window match no one-hot row, so no masking is needed; padding
-edges carry ``w == 0``.
+~2^-16 relative error at single-pass bf16 MXU throughput (6x cheaper than
+``Precision.HIGHEST``).
 """
 
 from __future__ import annotations
 
+import dataclasses
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from sgl_tpu.kernels.sparse import SparseAdj
+from sgl_tpu.kernels.sparse import SparseAdj, spmm_segment
 
-TILE_R = 128  # output rows per grid step (MXU-aligned)
-CHUNK = 2048  # edges per inner DMA/matmul step (512 KB hi+lo DMA at D=128)
-N_BUF = 3  # DMA pipeline depth
+TILE_R = 128  # output rows per tile (MXU-aligned)
+# edges per chunk: 2048 won a sweep over {512, 1024, 2048, 4096} on v5e
+CHUNK = int(os.environ.get("SGL_TPU_SPMM_CHUNK", "2048"))
 
 
 def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
-def _seg_kernel(
-    tile_ptr_ref, dst_ref, hi_ref, lo_ref, out_ref, hi_buf, lo_buf, dst_buf, sems
-):
-    t = pl.program_id(0)
-    e0 = tile_ptr_ref[t]
-    e1 = tile_ptr_ref[t + 1]
-    # chunk-aligned window covering [e0, e1); alignment keeps DMAs on whole
-    # chunks, equality-matching drops foreign edges.
-    c0 = e0 // CHUNK
-    n_chunks = jnp.where(e1 > e0, pl.cdiv(e1, CHUNK) - c0, 0)
+@jax.tree_util.register_pytree_node_class
+@dataclasses.dataclass(frozen=True)
+class ChunkedAdj:
+    """Tile-chunk-aligned sparse adjacency for the Pallas kernel.
 
-    def get_dma(slot, ci):
-        return (
-            pltpu.make_async_copy(hi_ref.at[c0 + ci], hi_buf.at[slot], sems.at[slot, 0]),
-            pltpu.make_async_copy(lo_ref.at[c0 + ci], lo_buf.at[slot], sems.at[slot, 1]),
-            pltpu.make_async_copy(dst_ref.at[c0 + ci], dst_buf.at[slot], sems.at[slot, 2]),
+    Edge arrays have length ``n_chunks * CHUNK``; every chunk's edges all
+    target the same 128-row output tile (``chunk_tile`` maps chunk → tile).
+    Padding edges have ``w == 0`` and an in-tile dst.  Built host-side once
+    per graph by :func:`prepare_chunked`.
+    """
+
+    src: jnp.ndarray  # [E'] int32
+    dst: jnp.ndarray  # [E'] int32 (sorted within the tile structure)
+    w: jnp.ndarray  # [E'] float32, 0 on padding
+    chunk_tile: jnp.ndarray  # [n_chunks] int32
+    num_nodes: int
+
+    def tree_flatten(self):
+        return (self.src, self.dst, self.w, self.chunk_tile), (self.num_nodes,)
+
+    @classmethod
+    def tree_unflatten(cls, aux, leaves):
+        return cls(*leaves, aux[0])
+
+    @property
+    def n_chunks(self) -> int:
+        return int(self.chunk_tile.shape[0])
+
+    def transpose_sparse(self) -> SparseAdj:
+        """Transposed edges as a plain SparseAdj (for the VJP)."""
+        return SparseAdj(self.dst, self.src, self.w, self.num_nodes, False)
+
+
+def prepare_chunked(adj: SparseAdj) -> ChunkedAdj:
+    """Re-layout a dst-sorted ``SparseAdj`` into per-tile whole chunks.
+
+    Every tile (even an empty one) gets at least one chunk so its output
+    block is always written.  Host-side numpy; run once per graph and reuse
+    across hops/epochs.
+    """
+    src = np.asarray(adj.src)
+    dst = np.asarray(adj.dst)
+    w = np.asarray(adj.w)
+    if not adj.sorted_by_dst:
+        order = np.argsort(dst, kind="stable")
+        src, dst, w = src[order], dst[order], w[order]
+    keep = w != 0
+    src, dst, w = src[keep], dst[keep], w[keep]
+    n = adj.num_nodes
+    n_tiles = _round_up(n, TILE_R) // TILE_R
+    tile_of = dst // TILE_R
+    counts = np.bincount(tile_of, minlength=n_tiles)
+    padded = np.maximum(_round_up_arr(counts, CHUNK), CHUNK)
+    offsets = np.concatenate([[0], np.cumsum(padded)])
+    e_out = int(offsets[-1])
+    out_src = np.zeros(e_out, np.int32)
+    out_dst = np.empty(e_out, np.int32)
+    out_w = np.zeros(e_out, np.float32)
+    # padding dst defaults to the tile's base row (in-tile, weight 0)
+    tile_idx = np.repeat(np.arange(n_tiles, dtype=np.int32), padded)
+    out_dst[:] = tile_idx * TILE_R
+    # edges are dst-sorted, hence tile-sorted: contiguous runs per tile
+    starts = np.concatenate([[0], np.cumsum(counts)])
+    pos = offsets[tile_of] + (np.arange(src.shape[0]) - starts[tile_of])
+    out_src[pos] = src
+    out_dst[pos] = dst
+    out_w[pos] = w
+    chunk_tile = np.repeat(
+        np.arange(n_tiles, dtype=np.int32), (padded // CHUNK)
+    )
+    return ChunkedAdj(
+        jnp.asarray(out_src),
+        jnp.asarray(out_dst),
+        jnp.asarray(out_w),
+        jnp.asarray(chunk_tile),
+        num_nodes=n,
+    )
+
+
+def _round_up_arr(x: np.ndarray, m: int) -> np.ndarray:
+    return ((x + m - 1) // m) * m
+
+
+def _seg_kernel(chunk_tile_ref, dst_ref, hi_ref, lo_ref, out_ref):
+    c = pl.program_id(0)
+    tile = chunk_tile_ref[c]
+    is_first = jnp.logical_or(c == 0, chunk_tile_ref[jnp.maximum(c - 1, 0)] != tile)
+
+    @pl.when(is_first)
+    def _():
+        out_ref[:] = jnp.zeros_like(out_ref)
+
+    local = dst_ref[0] - tile * TILE_R  # (1, CHUNK)
+    rows = jax.lax.broadcasted_iota(jnp.int32, (TILE_R, CHUNK), 0)
+    onehot = (local == rows).astype(jnp.bfloat16)  # (TILE_R, CHUNK)
+
+    def mm(m):
+        return jax.lax.dot_general(
+            onehot,
+            m,
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
         )
 
-    @pl.when(n_chunks > 0)
-    def _():
-        for s in range(N_BUF - 1):
-
-            @pl.when(s < n_chunks)
-            def _():
-                for dma in get_dma(s, s):
-                    dma.start()
-
-    row_base = t * TILE_R
-
-    def body(ci, acc):
-        slot = ci % N_BUF
-
-        @pl.when(ci + N_BUF - 1 < n_chunks)
-        def _():
-            for dma in get_dma((ci + N_BUF - 1) % N_BUF, ci + N_BUF - 1):
-                dma.start()
-
-        for dma in get_dma(slot, ci):
-            dma.wait()
-
-        local = dst_buf[slot] - row_base  # (1, CHUNK)
-        rows = jax.lax.broadcasted_iota(jnp.int32, (TILE_R, CHUNK), 0)
-        onehot = (local == rows).astype(jnp.bfloat16)  # (TILE_R, CHUNK)
-
-        def mm(m):
-            return jax.lax.dot_general(
-                onehot,
-                m,
-                dimension_numbers=(((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )
-
-        return acc + mm(hi_buf[slot]) + mm(lo_buf[slot])
-
-    out_ref[:] = jax.lax.fori_loop(0, n_chunks, body, jnp.zeros_like(out_ref))
+    out_ref[:] += mm(hi_ref[0]) + mm(lo_ref[0])
 
 
 @functools.partial(jax.jit, static_argnames=("num_nodes", "interpret"))
-def _segment_reduce_mxu(hi, lo, dst, num_nodes: int, interpret: bool = False):
-    """Sorted-by-dst segment sum via the Pallas kernel.
+def _segment_reduce_mxu(hi, lo, dst, chunk_tile, num_nodes: int, interpret: bool = False):
+    """Tile-chunked segment sum via the Pallas kernel.
 
-    hi/lo: [E_pad, D] bf16 message halves (E_pad multiple of CHUNK, D
-           multiple of 128)
-    dst:   [E_pad] int32 sorted ascending (padding edges at the end)
+    hi/lo: [E', D] bf16 message halves (E' = n_chunks * CHUNK, D % 128 == 0)
+    dst:   [E'] int32; chunk_tile: [n_chunks] int32 (non-decreasing)
     """
     e_pad, d = hi.shape
-    assert e_pad % CHUNK == 0 and d % 128 == 0
+    n_chunks = chunk_tile.shape[0]
+    assert e_pad == n_chunks * CHUNK and d % 128 == 0
     n_tiles = pl.cdiv(num_nodes, TILE_R)
-    n_pad = n_tiles * TILE_R
-    # first edge of each output tile (cheap: T+1 binary searches)
-    bounds = jnp.arange(n_tiles + 1, dtype=jnp.int32) * TILE_R
-    tile_ptr = jnp.searchsorted(dst, bounds, side="left").astype(jnp.int32)
-    # chunk-major layouts so every DMA slice is whole-tile aligned
-    hi3 = hi.reshape(e_pad // CHUNK, CHUNK, d)
-    lo3 = lo.reshape(e_pad // CHUNK, CHUNK, d)
-    dst3 = dst.reshape(e_pad // CHUNK, 1, CHUNK)
+    hi3 = hi.reshape(n_chunks, CHUNK, d)
+    lo3 = lo.reshape(n_chunks, CHUNK, d)
+    dst3 = dst.reshape(n_chunks, 1, CHUNK)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=(n_tiles,),
+        grid=(n_chunks,),
         in_specs=[
-            pl.BlockSpec(memory_space=pl.ANY),  # dst3 stays in HBM
-            pl.BlockSpec(memory_space=pl.ANY),  # hi3 stays in HBM
-            pl.BlockSpec(memory_space=pl.ANY),  # lo3 stays in HBM
+            pl.BlockSpec((1, 1, CHUNK), lambda c, ct: (c, 0, 0)),
+            pl.BlockSpec((1, CHUNK, d), lambda c, ct: (c, 0, 0)),
+            pl.BlockSpec((1, CHUNK, d), lambda c, ct: (c, 0, 0)),
         ],
         out_specs=pl.BlockSpec(
-            (TILE_R, d), lambda t, ptr: (t, 0), memory_space=pltpu.VMEM
+            (TILE_R, d), lambda c, ct: (ct[c], 0), memory_space=pltpu.VMEM
         ),
-        scratch_shapes=[
-            pltpu.VMEM((N_BUF, CHUNK, d), jnp.bfloat16),
-            pltpu.VMEM((N_BUF, CHUNK, d), jnp.bfloat16),
-            pltpu.VMEM((N_BUF, 1, CHUNK), jnp.int32),
-            pltpu.SemaphoreType.DMA((N_BUF, 3)),
-        ],
     )
     out = pl.pallas_call(
         _seg_kernel,
-        out_shape=jax.ShapeDtypeStruct((n_pad, d), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((n_tiles * TILE_R, d), jnp.float32),
         grid_spec=grid_spec,
         interpret=interpret,
         cost_estimate=pl.CostEstimate(
             flops=4 * e_pad * TILE_R * d,
-            bytes_accessed=e_pad * (d * 4 + 4) + n_pad * d * 4,
+            bytes_accessed=e_pad * (d * 4 + 4) + n_tiles * TILE_R * d * 4,
             transcendentals=0,
         ),
-    )(tile_ptr, dst3, hi3, lo3)
+    )(chunk_tile, dst3, hi3, lo3)
     return out[:num_nodes]
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
-def spmm_pallas(adj: SparseAdj, x: jnp.ndarray, interpret: bool = False) -> jnp.ndarray:
+def spmm_pallas(adj: ChunkedAdj, x: jnp.ndarray, interpret: bool = False) -> jnp.ndarray:
     """``y = adj @ x`` with XLA gather + Pallas MXU segment reduction.
 
-    Requires ``adj`` sorted by dst (``Graph.from_coo`` default).  Shapes are
-    padded internally to kernel alignment; result is [num_nodes, D] float32.
+    ``adj`` must be a :class:`ChunkedAdj` (build once per graph with
+    :func:`prepare_chunked`).  Result is [num_nodes, D] in ``x.dtype``.
     Differentiable w.r.t. ``x`` (VJP = transpose SpMM via the segment
-    backend, since the transposed edge list is no longer dst-sorted).
+    backend, since transposed edges are no longer tile-structured).
     """
     return _spmm_pallas_impl(adj, x, interpret)
 
 
-def _spmm_pallas_impl(adj: SparseAdj, x: jnp.ndarray, interpret: bool = False) -> jnp.ndarray:
-    if not adj.sorted_by_dst:
-        raise ValueError("spmm_pallas requires dst-sorted edges")
-    e = adj.src.shape[0]
+def _spmm_pallas_impl(adj: ChunkedAdj, x: jnp.ndarray, interpret: bool = False) -> jnp.ndarray:
+    if isinstance(adj, SparseAdj):
+        raise TypeError(
+            "spmm_pallas requires a ChunkedAdj; convert once with "
+            "sgl_tpu.kernels.prepare_chunked(adj)"
+        )
     d = x.shape[1]
-    e_pad = _round_up(e, CHUNK)
     d_pad = _round_up(d, 128)
     msgs = jnp.take(x, adj.src, axis=0).astype(jnp.float32) * adj.w[:, None]
     if d_pad != d:
@@ -185,13 +226,9 @@ def _spmm_pallas_impl(adj: SparseAdj, x: jnp.ndarray, interpret: bool = False) -
     # the gather (a concat would force an extra materialize+copy pass)
     hi = msgs.astype(jnp.bfloat16)
     lo = (msgs - hi.astype(jnp.float32)).astype(jnp.bfloat16)
-    dst = adj.dst
-    if e_pad != e:
-        hi = jnp.pad(hi, ((0, e_pad - e), (0, 0)))
-        lo = jnp.pad(lo, ((0, e_pad - e), (0, 0)))
-        # pad dst with an out-of-range id so padded edges match no tile row
-        dst = jnp.pad(dst, (0, e_pad - e), constant_values=jnp.int32(2**30))
-    out = _segment_reduce_mxu(hi, lo, dst, num_nodes=adj.num_nodes, interpret=interpret)
+    out = _segment_reduce_mxu(
+        hi, lo, adj.dst, adj.chunk_tile, num_nodes=adj.num_nodes, interpret=interpret
+    )
     return out[:, :d].astype(x.dtype)
 
 
@@ -200,11 +237,8 @@ def _spmm_pallas_fwd(adj, x, interpret):
 
 
 def _spmm_pallas_bwd(interpret, adj, g):
-    from sgl_tpu.kernels.sparse import spmm_segment
-
-    # d/dx (A x) applied to cotangent g is A^T g; transposed edges are not
-    # dst-sorted, so use the segment backend (gradients are off the hot path)
-    dx = spmm_segment(adj.transpose(), g)
+    # d/dx (A x) applied to cotangent g is A^T g (off the hot path)
+    dx = spmm_segment(adj.transpose_sparse(), g)
     return (None, dx)
 
 

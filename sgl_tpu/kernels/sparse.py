@@ -91,17 +91,18 @@ def spmm(adj: SparseAdj, x: jnp.ndarray, backend: Optional[str] = None) -> jnp.n
     dst-sorted (2.4x the XLA segment path, measured), and the XLA segment
     path elsewhere (CPU tests, unsorted adjacencies).
     """
+    from sgl_tpu.kernels.pallas_spmm import ChunkedAdj, spmm_pallas
+
     backend = backend or _DEFAULT_BACKEND
     if backend == "auto":
-        import jax
-
-        on_tpu = jax.default_backend() not in ("cpu",)
-        backend = "pallas" if (on_tpu and adj.sorted_by_dst) else "segment"
+        # the Pallas kernel needs the host-prepared tile-chunked layout
+        # (prepare_chunked); plain SparseAdj always takes the XLA path
+        backend = "pallas" if isinstance(adj, ChunkedAdj) else "segment"
     if backend == "segment":
+        if isinstance(adj, ChunkedAdj):
+            adj = SparseAdj(adj.src, adj.dst, adj.w, adj.num_nodes, False)
         return spmm_segment(adj, x)
     if backend == "pallas":
-        from sgl_tpu.kernels.pallas_spmm import spmm_pallas
-
         return spmm_pallas(adj, x)
     raise ValueError(f"unknown spmm backend {backend!r}")
 

@@ -58,6 +58,14 @@ class GraphOp:
                 "Dimension mismatch detected for the adjacency and the feature matrix!"
             )
         adj = self.construct_adj(graph)
+        if backend != "segment":
+            import jax
+
+            if jax.default_backend() not in ("cpu",):
+                # one-time host re-layout unlocks the Pallas kernel on TPU
+                from sgl_tpu.kernels.pallas_spmm import prepare_chunked
+
+                adj = prepare_chunked(adj)
         return k_hop_propagate(
             adj, jnp.asarray(x, jnp.float32), self.prop_steps, backend=backend
         )

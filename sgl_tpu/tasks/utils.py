@@ -68,6 +68,29 @@ def adam_l2(lr: float, weight_decay: float) -> optax.GradientTransformation:
     )
 
 
+def warmup_lr_schedule(lr: float, warmup_epochs: int = 50):
+    """Linear LR warmup over the first ``warmup_epochs`` steps — the analog
+    of the reference's ``adjust_learning_rate`` (``tasks/utils.py:28-31``),
+    expressed as an optax schedule instead of mutating optimizer state."""
+
+    def schedule(step):
+        frac = jnp.minimum((step + 1) / warmup_epochs, 1.0)
+        return lr * frac
+
+    return schedule
+
+
+def adam_l2_warmup(
+    lr: float, weight_decay: float, warmup_epochs: int = 50
+) -> optax.GradientTransformation:
+    """adam_l2 with the reference-style linear warmup."""
+    return optax.chain(
+        optax.add_decayed_weights(weight_decay),
+        optax.scale_by_adam(),
+        optax.scale_by_learning_rate(warmup_lr_schedule(lr, warmup_epochs)),
+    )
+
+
 class TrainState(NamedTuple):
     params: dict
     opt_state: optax.OptState

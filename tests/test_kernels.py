@@ -16,7 +16,7 @@ from sgl_tpu.graph import (
     ppr_weights,
     row_normalized_weights,
 )
-from sgl_tpu.kernels import spmm, spmm_pallas
+from sgl_tpu.kernels import prepare_chunked, spmm, spmm_pallas
 from tests.conftest import random_graph, graph_to_csr
 
 
@@ -79,7 +79,7 @@ def test_pallas_spmm_interpret_matches_segment():
     adj = symmetric_normalized_weights(g, sort=True)
     x = jnp.asarray(g.x)
     want = np.asarray(spmm(adj, x))
-    got = np.asarray(spmm_pallas(adj, x, interpret=True))
+    got = np.asarray(spmm_pallas(prepare_chunked(adj), x, interpret=True))
     np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
 
 
@@ -97,5 +97,5 @@ def test_pallas_spmm_hub_node():
     g = Graph.from_coo(src, dst, num_nodes=n, x=x, pad_multiple=256)
     adj = symmetric_normalized_weights(g)
     want = np.asarray(spmm(adj, jnp.asarray(x)))
-    got = np.asarray(spmm_pallas(adj, jnp.asarray(x), interpret=True))
+    got = np.asarray(spmm_pallas(prepare_chunked(adj), jnp.asarray(x), interpret=True))
     np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)

@@ -69,3 +69,21 @@ def test_train_state_checkpoint(tmp_path):
 def test_device_chooser():
     d = device_with_max_free_mem()
     assert d is not None
+
+
+def test_warmup_schedule():
+    from sgl_tpu.tasks.utils import warmup_lr_schedule, adam_l2_warmup
+
+    sched = warmup_lr_schedule(0.1, warmup_epochs=50)
+    assert abs(float(sched(0)) - 0.1 / 50) < 1e-6
+    assert abs(float(sched(24)) - 0.05) < 1e-6
+    assert abs(float(sched(49)) - 0.1) < 1e-6
+    assert abs(float(sched(500)) - 0.1) < 1e-6
+    # optimizer applies warmup
+    import jax, jax.numpy as jnp, optax
+    tx = adam_l2_warmup(0.1, 0.0, warmup_epochs=10)
+    params = {"w": jnp.ones(3)}
+    state = tx.init(params)
+    g = {"w": jnp.ones(3)}
+    u1, state = tx.update(g, state, params)
+    assert float(jnp.abs(u1["w"]).max()) < 0.02  # warmed-down first step
