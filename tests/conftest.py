@@ -7,12 +7,21 @@ execute for real (SURVEY.md §4).  Must run before jax is imported anywhere.
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# force CPU even when the environment presets JAX_PLATFORMS=axon (the
+# tunneled single TPU chip): the suite needs 8 virtual devices and fast
+# eager dispatch, neither of which the tunnel provides.  jax may already be
+# imported by a sitecustomize hook, so set the config directly too — the env
+# var alone is latched at jax import time.
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+os.environ["JAX_PLATFORMS"] = "cpu"
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
