@@ -70,3 +70,44 @@ def subgraph_weight_stability(
         _, w = select_top_subgraphs(dataset, predict_class, seed=42 + s, **kw)
         outs.append(w)
     return np.stack(outs)
+
+
+def hetero_search(
+    dataset,
+    predict_class: str,
+    subgraph_configs,
+    feat_dim: int,
+    output_dim: int,
+    epochs: int = 30,
+    hidden_dim: int = 64,
+    prop_steps: int = 2,
+    seed: int = 42,
+):
+    """Grid study over (random_subgraph_num, subgraph_edge_type_num) configs
+    (reference ``sgl/etc/hetero_search.py``): returns
+    ``{config: best_test_acc}``."""
+    results = {}
+    for cfg in subgraph_configs:
+        n_sub, n_et = cfg
+        model = Fast_NARS_SGC_WithLearnableWeights(
+            prop_steps=prop_steps,
+            feat_dim=feat_dim,
+            output_dim=output_dim,
+            hidden_dim=hidden_dim,
+            num_layers=2,
+            random_subgraph_num=n_sub,
+        )
+        task = HeteroNodeClassification(
+            dataset,
+            predict_class,
+            model,
+            lr=0.05,
+            weight_decay=5e-5,
+            epochs=epochs,
+            random_subgraph_num=n_sub,
+            subgraph_edge_type_num=n_et,
+            seed=seed,
+            verbose=False,
+        )
+        results[tuple(cfg)] = task.test_acc
+    return results

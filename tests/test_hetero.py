@@ -103,3 +103,16 @@ def test_fast_nars_sgc_with_subgraph_weight():
     assert task.test_acc > 0.5, task.test_acc
     assert task.subgraph_weight is not None
     assert task.subgraph_weight.shape == (2,)
+
+
+def test_hetero_search_grid():
+    from sgl_tpu.etc.auto_select_edge_type_for_nars import hetero_search
+
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        res = hetero_search(
+            DS, "paper", [(2, 2), (1, 2)], feat_dim=16,
+            output_dim=DS.num_classes, epochs=5,
+        )
+    assert set(res) == {(2, 2), (1, 2)}
+    assert all(0.0 <= v <= 1.0 for v in res.values())

@@ -78,3 +78,42 @@ def test_mini_batch_matches_full_batch_quality():
     model = homo.SGC(3, DS.num_features, DS.num_classes)
     acc = _run(model, epochs=30, train_batch_size=48, eval_batch_size=64)
     assert acc > 0.85, acc
+
+
+def test_pasca_v1():
+    acc = _run(
+        homo.PASCA_V1(3, DS.num_features, DS.num_classes, hidden_dim=32, num_layers=2),
+        epochs=40,
+        lr=0.05,
+    )
+    assert acc > 0.8, acc
+
+
+def test_pasca_v2():
+    acc = _run(
+        homo.PASCA_V2(3, DS.num_features, DS.num_classes, hidden_dim=32, num_layers=2),
+        epochs=40,
+        lr=0.05,
+    )
+    assert acc > 0.8, acc
+
+
+def test_dist_aliases():
+    assert homo.SGCDist is homo.SGC
+    assert homo.GAMLPDist is homo.GAMLP
+
+
+def test_nafs_model_embeddings_cluster():
+    """NAFS as a model: training-free embeddings must preserve class
+    structure (nearest-centroid accuracy well above chance)."""
+    import numpy as np
+
+    m = homo.NAFS(3, DS.num_features, DS.num_features)
+    m.preprocess(DS.graph, DS.x)
+    z = np.asarray(m.processed_feature)
+    y = np.asarray(DS.y)
+    cents = np.stack([z[y == c].mean(0) for c in range(DS.num_classes)])
+    pred = np.argmin(
+        ((z[:, None, :] - cents[None]) ** 2).sum(-1), axis=1
+    )
+    assert (pred == y).mean() > 0.7
