@@ -11,3 +11,8 @@ __all__ = [
     "spmm_pallas",
     "set_default_backend",
 ]
+from sgl_tpu.kernels.pallas_spmm import (  # noqa: E402
+    ChunkedPart,
+    prepare_chunked_parts,
+    spmm_pallas_streaming,
+)

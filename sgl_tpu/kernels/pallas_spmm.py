@@ -232,6 +232,112 @@ def _spmm_pallas_impl(adj: ChunkedAdj, x: jnp.ndarray, interpret: bool = False) 
     return out[:, :d].astype(x.dtype)
 
 
+@jax.tree_util.register_pytree_node_class
+@dataclasses.dataclass(frozen=True)
+class ChunkedPart:
+    """One tile-aligned slice of a huge graph's ChunkedAdj: covers output
+    rows ``[tile_offset*TILE_R, (tile_offset+n_tiles)*TILE_R)``."""
+
+    src: jnp.ndarray
+    dst: jnp.ndarray  # LOCAL to the part: dst - tile_offset*TILE_R
+    w: jnp.ndarray
+    chunk_tile: jnp.ndarray  # local tile ids
+    tile_offset: int
+    n_tiles: int
+
+    def tree_flatten(self):
+        return (self.src, self.dst, self.w, self.chunk_tile), (
+            self.tile_offset,
+            self.n_tiles,
+        )
+
+    @classmethod
+    def tree_unflatten(cls, aux, leaves):
+        return cls(*leaves, *aux)
+
+
+def prepare_chunked_parts(adj: SparseAdj, max_edges_per_part: int = 16 << 20):
+    """Split a graph into tile-aligned parts so each part's message buffers
+    fit in HBM — the single-chip path to billion-edge graphs (ogbn-products /
+    papers100M scale), where an (E, D) message buffer cannot materialize.
+
+    Parts share one kernel compilation: chunk and tile counts are padded to
+    the per-part maxima.
+    """
+    full = prepare_chunked(adj)
+    chunk_tile = np.asarray(full.chunk_tile)
+    n_chunks = chunk_tile.shape[0]
+    max_chunks = max(max_edges_per_part // CHUNK, 1)
+    # split points at tile boundaries, greedy by chunk count
+    splits = [0]
+    last = 0
+    for c in range(1, n_chunks):
+        if chunk_tile[c] != chunk_tile[c - 1] and c - last >= max_chunks:
+            splits.append(c)
+            last = c
+    splits.append(n_chunks)
+    part_chunks = max(np.diff(splits))
+    parts = []
+    src = np.asarray(full.src)
+    dst = np.asarray(full.dst)
+    w = np.asarray(full.w)
+    for lo, hi in zip(splits[:-1], splits[1:]):
+        t_lo = int(chunk_tile[lo])
+        t_hi = int(chunk_tile[hi - 1]) + 1
+        pad_c = part_chunks - (hi - lo)
+        e_lo, e_hi = lo * CHUNK, hi * CHUNK
+        last_tile = t_hi - t_lo - 1  # padding must keep chunk_tile
+        # non-decreasing, else the revisit logic would re-zero an earlier tile
+        p_src = np.concatenate([src[e_lo:e_hi], np.zeros(pad_c * CHUNK, np.int32)])
+        p_dst = np.concatenate(
+            [dst[e_lo:e_hi] - t_lo * TILE_R,
+             np.full(pad_c * CHUNK, last_tile * TILE_R, np.int32)]
+        ).astype(np.int32)
+        p_w = np.concatenate([w[e_lo:e_hi], np.zeros(pad_c * CHUNK, np.float32)])
+        p_ct = np.concatenate(
+            [chunk_tile[lo:hi] - t_lo, np.full(pad_c, last_tile, np.int32)]
+        ).astype(np.int32)
+        parts.append(
+            ChunkedPart(
+                jnp.asarray(p_src),
+                jnp.asarray(p_dst),
+                jnp.asarray(p_w),
+                jnp.asarray(p_ct),
+                tile_offset=t_lo,
+                n_tiles=t_hi - t_lo,
+            )
+        )
+    max_tiles = max(p.n_tiles for p in parts)
+    return parts, full.num_nodes, max_tiles
+
+
+@functools.partial(jax.jit, static_argnames=("n_rows", "interpret"))
+def _part_rows(part: ChunkedPart, x, n_rows: int, interpret: bool = False):
+    d = x.shape[1]
+    d_pad = _round_up(d, 128)
+    msgs = jnp.take(x, part.src, axis=0).astype(jnp.float32) * part.w[:, None]
+    if d_pad != d:
+        msgs = jnp.pad(msgs, ((0, 0), (0, d_pad - d)))
+    hi = msgs.astype(jnp.bfloat16)
+    lo = (msgs - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    out = _segment_reduce_mxu(
+        hi, lo, part.dst, part.chunk_tile, num_nodes=n_rows, interpret=interpret
+    )
+    return out[:, :d].astype(x.dtype)
+
+
+def spmm_pallas_streaming(parts_bundle, x: jnp.ndarray, interpret: bool = False) -> jnp.ndarray:
+    """``y = adj @ x`` part by part; peak device memory is one part's
+    message buffers instead of the whole graph's."""
+    parts, num_nodes, max_tiles = parts_bundle
+    n_rows = max_tiles * TILE_R
+    outs = []
+    for p in parts:
+        rows = _part_rows(p, x, n_rows=n_rows, interpret=interpret)
+        outs.append(rows[: p.n_tiles * TILE_R])
+    return jnp.concatenate(outs, axis=0)[:num_nodes]
+
+
 def _spmm_pallas_fwd(adj, x, interpret):
     return _spmm_pallas_impl(adj, x, interpret), adj
 

@@ -99,3 +99,20 @@ def test_pallas_spmm_hub_node():
     want = np.asarray(spmm(adj, jnp.asarray(x)))
     got = np.asarray(spmm_pallas(prepare_chunked(adj), jnp.asarray(x), interpret=True))
     np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+
+def test_streaming_spmm_matches_segment():
+    """Multi-part streaming path (huge-graph mode) forced via a tiny part
+    size; must equal the one-shot result."""
+    from sgl_tpu.kernels import prepare_chunked_parts, spmm_pallas_streaming
+    from sgl_tpu.kernels.pallas_spmm import CHUNK
+
+    g = random_graph(n=700, avg_deg=10, d=12, seed=13)
+    adj = symmetric_normalized_weights(g)
+    x = jnp.asarray(g.x)
+    want = np.asarray(spmm(adj, x))
+    bundle = prepare_chunked_parts(adj, max_edges_per_part=2 * CHUNK)
+    parts = bundle[0]
+    assert len(parts) > 1, "part size did not force splitting"
+    got = np.asarray(spmm_pallas_streaming(bundle, x, interpret=True))
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
