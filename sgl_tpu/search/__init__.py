@@ -1,3 +1,4 @@
+from sgl_tpu.search.base_search import BaseSearch
 from sgl_tpu.search.search_models import SearchModel
 from sgl_tpu.search.auto_search import SearchManager
 from sgl_tpu.search.search_config import ConfigManager, ARCH_KEYS

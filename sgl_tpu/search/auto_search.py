@@ -28,7 +28,10 @@ from sgl_tpu.tasks.utils import (
 )
 
 
-class SearchManager:
+from sgl_tpu.search.base_search import BaseSearch
+
+
+class SearchManager(BaseSearch):
     def __init__(
         self,
         dataset,
