@@ -1,0 +1,55 @@
+"""ogbn-products-scale precompute on one chip via streaming SpMM.
+
+Generates a synthetic power-law graph at products scale (2.4M nodes, ~120M
+directed edges, d=100) and runs the full SGAP precompute (3-hop propagation)
+with the streaming Pallas kernel — message buffers never exceed one part's
+footprint, so the graph that could not materialize an (E, D) buffer in HBM
+runs anyway.  This is the single-chip leg of BASELINE.md's scalability
+target; multi-chip extends it via sgl_tpu.parallel's ring partition.
+
+Run on the TPU (default env):  python examples/products_scale_demo.py
+"""
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax.numpy as jnp
+import numpy as np
+
+
+def main(n=2_400_000, avg_deg=25, d=100, hops=3, part_edges=4 << 20):
+    from sgl_tpu.datasets.synthetic import random_power_law_graph
+    from sgl_tpu.graph import symmetric_normalized_weights
+    from sgl_tpu.kernels import prepare_chunked_parts, spmm_pallas_streaming
+
+    t0 = time.time()
+    g = random_power_law_graph(n, avg_deg, d, seed=0, pad_multiple=1 << 20)
+    print(f"graph: {g.num_nodes} nodes, {g.num_edges} edges "
+          f"({time.time() - t0:.1f}s to generate)")
+
+    t0 = time.time()
+    adj = symmetric_normalized_weights(g)
+    bundle = prepare_chunked_parts(adj, max_edges_per_part=part_edges)
+    parts = bundle[0]
+    print(f"normalized + partitioned into {len(parts)} parts "
+          f"({time.time() - t0:.1f}s)")
+
+    x = jnp.asarray(g.x)
+    hops_out = [x]
+    t0 = time.time()
+    for k in range(hops):
+        h = spmm_pallas_streaming(bundle, hops_out[-1])
+        h.block_until_ready()
+        hops_out.append(h)
+        print(f"hop {k + 1} done ({time.time() - t0:.1f}s cumulative)")
+    dt = time.time() - t0
+    nnz = int(np.sum(np.asarray(adj.w) != 0))
+    print(f"precompute: {hops} hops x {nnz} edges in {dt:.1f}s "
+          f"-> {nnz * hops / dt / 1e9:.3f} G edges/s sustained")
+
+
+if __name__ == "__main__":
+    main()

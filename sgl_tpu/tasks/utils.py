@@ -36,22 +36,9 @@ def cross_entropy_loss(logits: jnp.ndarray, labels: jnp.ndarray) -> jnp.ndarray:
     return optax.softmax_cross_entropy_with_integer_labels(logits, labels).mean()
 
 
-def loge_cross_entropy_loss(
-    logits: jnp.ndarray, labels: jnp.ndarray, epsilon: float = 1.0 - np.log(2)
-) -> jnp.ndarray:
-    """Loge-CE (reference ``sgl/tricks/utils.py:7-10``):
-    ``log(ε + ce) - log(ε)`` per element, then mean."""
-    ce = optax.softmax_cross_entropy_with_integer_labels(logits, labels)
-    return jnp.mean(jnp.log(epsilon + ce) - np.log(epsilon))
-
-
-def loge_bce_loss(
-    pred: jnp.ndarray, target: jnp.ndarray, epsilon: float = 1.0 - np.log(2)
-) -> jnp.ndarray:
-    """Loge-BCE on probabilities (reference ``tricks/utils.py:12-14``)."""
-    pred = jnp.clip(pred, 1e-7, 1 - 1e-7)
-    bce = -(target * jnp.log(pred) + (1 - target) * jnp.log1p(-pred))
-    return jnp.mean(jnp.log(epsilon + bce) - np.log(epsilon))
+# Loge losses live canonically in sgl_tpu.tricks.utils (reference parity);
+# re-exported here for convenience
+from sgl_tpu.tricks.utils import loge_bce_loss, loge_cross_entropy_loss  # noqa: F401,E402
 
 
 def bce_loss(pred: jnp.ndarray, target: jnp.ndarray) -> jnp.ndarray:

@@ -11,8 +11,25 @@ from typing import Callable, Optional
 import jax
 import jax.numpy as jnp
 
+import numpy as np
+
 from sgl_tpu.kernels.sparse import SparseAdj, spmm
-from sgl_tpu.tasks.utils import loge_bce_loss, loge_cross_entropy_loss  # noqa: F401
+
+
+def loge_cross_entropy_loss(logits, labels, epsilon: float = 1.0 - np.log(2)):
+    """Loge-CE (reference ``sgl/tricks/utils.py:7-10``):
+    ``log(ε + ce) - log(ε)`` per element, then mean."""
+    import optax
+
+    ce = optax.softmax_cross_entropy_with_integer_labels(logits, labels)
+    return jnp.mean(jnp.log(epsilon + ce) - np.log(epsilon))
+
+
+def loge_bce_loss(pred, target, epsilon: float = 1.0 - np.log(2)):
+    """Loge-BCE on probabilities (reference ``tricks/utils.py:12-14``)."""
+    pred = jnp.clip(pred, 1e-7, 1 - 1e-7)
+    bce = -(target * jnp.log(pred) + (1 - target) * jnp.log1p(-pred))
+    return jnp.mean(jnp.log(epsilon + bce) - np.log(epsilon))
 
 
 def _default_post(x):
