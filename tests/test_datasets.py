@@ -117,3 +117,126 @@ def test_ogbn_format_parser(tmp_path):
 def test_download_gated_error():
     with pytest.raises(IOError):
         Planetoid("pubmed", root="/tmp/sgl_data_nonexistent/")
+
+
+def test_actor_format_parser(tmp_path):
+    raw = tmp_path / "actor" / "actor" / "raw"
+    raw.mkdir(parents=True)
+    # geom-gcn film format: node_id \t col,col \t label
+    (raw / "out1_node_feature_label.txt").write_text(
+        "id\tfeat\tlabel\n0\t0,2\t1\n1\t1\t0\n2\t0,1,3\t2\n3\t2\t1\n"
+    )
+    (raw / "out1_graph_edges.txt").write_text("src\tdst\n0\t1\n1\t2\n2\t3\n")
+    from sgl_tpu.datasets import Actor
+
+    ds = Actor(root=str(tmp_path) + "/")
+    assert ds.num_node == 4
+    assert ds.num_features == 4  # max col 3 -> one-hot width 4
+    x = np.asarray(ds.x)
+    assert x[2, 0] == 1 and x[2, 1] == 1 and x[2, 3] == 1
+    s, d, _ = ds.graph.edges()
+    pairs = set(zip(s.tolist(), d.tolist()))
+    assert (1, 0) in pairs  # undirected
+
+
+def test_webkb_format_parser(tmp_path):
+    raw = tmp_path / "webkb" / "cornell" / "raw"
+    raw.mkdir(parents=True)
+    (raw / "out1_node_feature_label.txt").write_text(
+        "id\tfeat\tlabel\n0\t1.0,0.0\t1\n1\t0.5,0.5\t0\n2\t0.0,1.0\t1\n"
+    )
+    (raw / "out1_graph_edges.txt").write_text("src\tdst\n0\t1\n1\t2\n")
+    from sgl_tpu.datasets import WebKB
+
+    ds = WebKB("cornell", root=str(tmp_path) + "/")
+    assert ds.num_node == 3 and ds.num_features == 2
+    np.testing.assert_allclose(np.asarray(ds.x)[1], [0.5, 0.5])
+
+
+def test_airports_format_parser(tmp_path):
+    raw = tmp_path / "airports" / "usa" / "raw"
+    raw.mkdir(parents=True)
+    (raw / "labels-usa-airports.txt").write_text(
+        "node label\n100 0\n200 1\n300 2\n"
+    )
+    (raw / "usa-airports.edgelist").write_text("100 200\n200 300\n")
+    from sgl_tpu.datasets import Airports
+
+    ds = Airports("usa", root=str(tmp_path) + "/")
+    assert ds.num_node == 3
+    assert np.asarray(ds.y).tolist() == [0, 1, 2]
+    s, d, _ = ds.graph.edges()
+    assert (0, 1) in set(zip(s.tolist(), d.tolist()))
+
+
+def test_musae_npz_parser(tmp_path):
+    raw = tmp_path / "github" / "github" / "raw"
+    raw.mkdir(parents=True)
+    rng = np.random.default_rng(0)
+    np.savez(
+        raw / "github.npz",
+        edges=rng.integers(0, 10, (30, 2)),
+        features=rng.random((10, 6)).astype(np.float32),
+        target=rng.integers(0, 2, 10),
+    )
+    from sgl_tpu.datasets import Github
+
+    ds = Github(root=str(tmp_path) + "/")
+    assert ds.num_node == 10 and ds.num_features == 6
+
+
+def test_wikics_json_parser(tmp_path):
+    import json as js
+
+    raw = tmp_path / "wikics" / "wikics" / "raw"
+    raw.mkdir(parents=True)
+    data = {
+        "features": [[1.0, 0.0], [0.0, 1.0], [0.5, 0.5]],
+        "labels": [0, 1, 0],
+        "links": [[1], [2], []],
+    }
+    (raw / "data.json").write_text(js.dumps(data))
+    from sgl_tpu.datasets import Wikics
+
+    ds = Wikics(root=str(tmp_path) + "/")
+    assert ds.num_node == 3
+    s, d, _ = ds.graph.edges()
+    assert (1, 0) in set(zip(s.tolist(), d.tolist()))  # undirected
+
+
+def test_hgb_pt_parser(tmp_path):
+    """HGB hetero loader parses a synthetic geometric_data_processed.pt."""
+    torch = pytest.importorskip("torch")
+    raw = tmp_path / "hgb" / "acm" / "raw" / "hgb_acm" / "raw"
+    raw.mkdir(parents=True)
+    rng = np.random.default_rng(0)
+    n_paper, n_author, n_subject, n_term = 12, 8, 3, 5
+    store = {
+        "paper": {
+            "x": torch.tensor(rng.random((n_paper, 4)).astype(np.float32)),
+            "y": torch.tensor(rng.integers(0, 3, n_paper)),
+            "train_mask": torch.tensor(
+                np.array([True] * 8 + [False] * 4)
+            ),
+            "test_mask": torch.tensor(np.array([False] * 8 + [True] * 4)),
+        },
+        "author": {"num_nodes": n_author},
+        "subject": {"num_nodes": n_subject},
+        "term": {"num_nodes": n_term},
+    }
+    from sgl_tpu.datasets.hetero_datasets import Acm
+
+    for et in Acm.EDGE_TYPES_TUPLE:
+        ns = {"paper": n_paper, "author": n_author, "subject": n_subject, "term": n_term}
+        e = np.stack(
+            [rng.integers(0, ns[et[0]], 15), rng.integers(0, ns[et[2]], 15)]
+        )
+        store[et] = {"edge_index": torch.tensor(e)}
+    torch.save(store, raw / "geometric_data_processed.pt")
+    ds = Acm(root=str(tmp_path) + "/")
+    assert ds.data.num_node["paper"] == n_paper
+    assert ds.num_classes == 3
+    assert len(ds.test_idx) == 4
+    # featureless types got synthesized features
+    assert ds.data["author"].x is not None
+    assert ds.data["author"].x.shape == (n_author, 4)
