@@ -18,3 +18,4 @@ from sgl_tpu.tasks.node_classification_with_label_use import (
 )
 from sgl_tpu.tasks.hetero_node_classification import HeteroNodeClassification
 from sgl_tpu.tasks.node_classification_dist import NodeClassificationDist
+from sgl_tpu.tasks.inference import Predictor, predictor_from_task

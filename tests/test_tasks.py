@@ -8,6 +8,7 @@ from sgl_tpu.datasets.synthetic import PlantedPartition
 from sgl_tpu.graph import symmetric_normalized_weights
 from sgl_tpu.models.homo import NAFS, SGC, SIGN
 from sgl_tpu.tasks import (
+    NodeClassification,
     LinkPredictionGAE,
     LinkPredictionNAFS,
     NodeClassificationWithCorrectAndSmooth,
@@ -128,3 +129,23 @@ def test_label_use_and_reuse():
         verbose=False,
     )
     assert task.test_acc > 0.8, task.test_acc
+
+
+def test_predictor_bucketing():
+    from sgl_tpu.tasks.inference import predictor_from_task
+
+    model = SGC(2, DS.num_features, DS.num_classes)
+    task = NodeClassification(
+        DS, model, lr=0.1, weight_decay=5e-5, epochs=10, verbose=False
+    )
+    pred = predictor_from_task(task)
+    # odd request sizes share bucket compilations and return correct shapes
+    for n in (1, 3, 8, 13, 100):
+        out = pred.predict(np.arange(n))
+        assert out.shape == (n, DS.num_classes)
+    proba = pred.predict_proba([0, 5, 7])
+    np.testing.assert_allclose(proba.sum(1), 1.0, rtol=1e-5)
+    # predictions agree with the task's eval path
+    logits = pred.predict(np.arange(DS.num_node))
+    acc = (logits.argmax(1) == np.asarray(DS.y))[np.asarray(DS.test_idx)].mean()
+    assert acc > 0.8
