@@ -167,11 +167,11 @@ class LinkPredictionGAE(BaseTask):
         )
 
         @jax.jit
-        def embed(params):
+        def embed(params, feats):
             return apply_fn(params, feats, train=False, rngs=None)
 
         @jax.jit
-        def train_step(state: TrainState):
+        def train_step(state: TrainState, feats, tr_edges, tr_labels):
             rng, dropout = jax.random.split(state.rng)
 
             def objective(p):
@@ -188,11 +188,11 @@ class LinkPredictionGAE(BaseTask):
         for epoch in range(self._epochs):
             t = time.time()
             if has_params:
-                state, loss = train_step(state)
+                state, loss = train_step(state, feats, tr_edges, tr_labels)
                 loss = float(loss)
             else:
                 loss = float("nan")
-            z = embed(state.params)
+            z = embed(state.params, feats)
             auc_val, ap_val = _auc_ap(z, va_pos, va_neg)
             auc_test, ap_test = _auc_ap(z, te_pos, te_neg)
             if self._verbose:
@@ -210,7 +210,7 @@ class LinkPredictionGAE(BaseTask):
                 break  # training-free model: metrics cannot change
 
         # postprocess (optional post-propagation on embeddings)
-        z = embed(state.params)
+        z = embed(state.params, feats)
         final = model.postprocess(train_graph, z)
         auc_val, ap_val = _auc_ap(final, va_pos, va_neg)
         auc_test, ap_test = _auc_ap(final, te_pos, te_neg)

@@ -99,11 +99,11 @@ class NodeClustering(BaseTask):
         loss_fn = self._loss_fn
 
         @jax.jit
-        def embed(params):
+        def embed(params, feats):
             return apply_fn(params, feats, train=False, rngs=None)
 
         @jax.jit
-        def grad_step(state: TrainState, y_pred, centers):
+        def grad_step(state: TrainState, feats, y_pred, centers):
             rng, dropout = jax.random.split(state.rng)
 
             def objective(p):
@@ -118,12 +118,12 @@ class NodeClustering(BaseTask):
         best = [0.0, 0.0, 0.0]
         for epoch in range(self._epochs):
             t = time.time()
-            out = np.asarray(embed(state.params))
+            out = np.asarray(embed(state.params, feats))
             km = KMeans(n_clusters=self._n_clusters, n_init=self._n_init)
             y_pred = km.fit_predict(out)
             centers = jnp.asarray(km.cluster_centers_)
             if has_params:
-                state, loss = grad_step(state, jnp.asarray(y_pred), centers)
+                state, loss = grad_step(state, feats, jnp.asarray(y_pred), centers)
                 loss = float(loss)
             else:
                 loss = float(
@@ -139,7 +139,7 @@ class NodeClustering(BaseTask):
             best = [max(b, v) for b, v in zip(best, (acc, nmi, adjscore))]
 
         # postprocess: cluster the final (optionally post-propagated) embeddings
-        out = embed(state.params)
+        out = embed(state.params, feats)
         final = self._model.postprocess(ds.graph, out)
         km = KMeans(n_clusters=self._n_clusters, n_init=self._n_init)
         y_pred = km.fit_predict(np.asarray(final))
