@@ -46,9 +46,34 @@ class GraphOp:
 
     def __init__(self, prop_steps: int):
         self.prop_steps = prop_steps
+        self._adj_cache = (None, None, None)  # (weakref(graph), backend, adj)
 
     def construct_adj(self, graph: Graph) -> SparseAdj:
         raise NotImplementedError
+
+    def _adj_for(self, graph: Graph, backend: Optional[str]):
+        """Normalized (and, on TPU, tile-chunked) adjacency with a one-entry
+        cache — tasks like label reuse re-preprocess every epoch on the same
+        graph, and the host re-layout should not be repaid each time."""
+        import weakref
+
+        ref, cached_backend, cached = self._adj_cache
+        if ref is not None and ref() is graph and cached_backend == backend:
+            return cached
+        adj = self.construct_adj(graph)
+        if backend != "segment":
+            import jax
+
+            if jax.default_backend() not in ("cpu",):
+                # host re-layout unlocks the Pallas kernel on TPU
+                from sgl_tpu.kernels.pallas_spmm import prepare_chunked
+
+                adj = prepare_chunked(adj)
+        try:
+            self._adj_cache = (weakref.ref(graph), backend, adj)
+        except TypeError:
+            pass
+        return adj
 
     def propagate(
         self, graph: Graph, x, backend: Optional[str] = None
@@ -57,15 +82,7 @@ class GraphOp:
             raise ValueError(
                 "Dimension mismatch detected for the adjacency and the feature matrix!"
             )
-        adj = self.construct_adj(graph)
-        if backend != "segment":
-            import jax
-
-            if jax.default_backend() not in ("cpu",):
-                # one-time host re-layout unlocks the Pallas kernel on TPU
-                from sgl_tpu.kernels.pallas_spmm import prepare_chunked
-
-                adj = prepare_chunked(adj)
+        adj = self._adj_for(graph, backend)
         return k_hop_propagate(
             adj, jnp.asarray(x, jnp.float32), self.prop_steps, backend=backend
         )

@@ -116,3 +116,16 @@ def test_streaming_spmm_matches_segment():
     assert len(parts) > 1, "part size did not force splitting"
     got = np.asarray(spmm_pallas_streaming(bundle, x, interpret=True))
     np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+
+def test_graph_op_adj_cache():
+    from sgl_tpu.ops.graph_ops import LaplacianGraphOp
+
+    g = random_graph(n=80, seed=21)
+    op = LaplacianGraphOp(2)
+    a1 = op._adj_for(g, None)
+    a2 = op._adj_for(g, None)
+    assert a1 is a2  # cache hit on same graph
+    g2 = random_graph(n=80, seed=22)
+    a3 = op._adj_for(g2, None)
+    assert a3 is not a1  # different graph rebuilds
