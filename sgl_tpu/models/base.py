@@ -95,10 +95,18 @@ class SGAPModel:
         if x is None:
             x = graph.x
         if self.pre_graph_op is not None:
-            hops = self.pre_graph_op.propagate(graph, x)
             if self.pre_msg_learnable:
-                self.processed_feature = hops
+                self.processed_feature = self.pre_graph_op.propagate(graph, x)
+                return
+            # linear aggregations fuse into the propagation scan: peak
+            # memory O(N·D) instead of O((K+1)·N·D)
+            w = self.pre_msg_op.linear_weights(self.pre_graph_op.prop_steps + 1)
+            if w is not None:
+                self.processed_feature = self.pre_graph_op.propagate_aggregate(
+                    graph, x, w
+                )
             else:
+                hops = self.pre_graph_op.propagate(graph, x)
                 self.processed_feature = eager_aggregate(self.pre_msg_op, hops)
         else:
             self.pre_msg_learnable = False

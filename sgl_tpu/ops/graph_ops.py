@@ -40,6 +40,31 @@ def k_hop_propagate(
     return jax.lax.stop_gradient(out)
 
 
+@functools.partial(jax.jit, static_argnames=("prop_steps", "backend"))
+def k_hop_aggregate(
+    adj: SparseAdj,
+    x: jnp.ndarray,
+    weights: jnp.ndarray,
+    prop_steps: int,
+    backend: Optional[str] = None,
+) -> jnp.ndarray:
+    """Fused ``sum_k weights[k] · A^k x`` without materializing the hop
+    stack — peak memory O(N·D) instead of O((K+1)·N·D).  Used for linear
+    message ops (sum/mean/simple-weighted/last) where the aggregation is a
+    fixed linear combination of hops."""
+
+    def step(carry, w_k):
+        h, acc = carry
+        h_next = spmm(adj, h, backend=backend)
+        return (h_next, acc + w_k * h_next), None
+
+    acc0 = weights[0] * x
+    (_, acc), _ = jax.lax.scan(
+        step, (x, acc0), weights[1:], length=prop_steps
+    )
+    return jax.lax.stop_gradient(acc)
+
+
 class GraphOp:
     """Propagation operator: builds a normalized ``SparseAdj`` from a
     ``Graph`` and runs the k-hop scan."""
@@ -85,6 +110,23 @@ class GraphOp:
         adj = self._adj_for(graph, backend)
         return k_hop_propagate(
             adj, jnp.asarray(x, jnp.float32), self.prop_steps, backend=backend
+        )
+
+    def propagate_aggregate(
+        self, graph: Graph, x, weights, backend: Optional[str] = None
+    ) -> jnp.ndarray:
+        """Fused ``sum_k weights[k] A^k x`` (see ``k_hop_aggregate``)."""
+        if graph.num_nodes != jnp.shape(x)[0]:
+            raise ValueError(
+                "Dimension mismatch detected for the adjacency and the feature matrix!"
+            )
+        adj = self._adj_for(graph, backend)
+        return k_hop_aggregate(
+            adj,
+            jnp.asarray(x, jnp.float32),
+            jnp.asarray(weights, jnp.float32),
+            self.prop_steps,
+            backend=backend,
         )
 
 

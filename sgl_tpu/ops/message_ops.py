@@ -51,6 +51,18 @@ class MessageOp(nn.Module):
     def learnable(self) -> bool:
         return self.aggr_type in LEARNABLE_AGGR_TYPES
 
+    def linear_weights(self, k_all: int):
+        """Fixed per-hop weights ``w`` such that ``aggregate(hops) ==
+        sum_k w[k] hops[k]``, or None when the op is not a static linear
+        combination.  Enables the fused O(N·D)-memory propagate+aggregate
+        path (``graph_ops.k_hop_aggregate``)."""
+        return None
+
+    def _slice_range(self, k_all: int):
+        start = 0 if self.start is None else self.start
+        end = k_all if self.end is None else self.end
+        return start, end
+
 
 class LastMessageOp(MessageOp):
     """``hops[-1]`` (SGC; reference ``last_message_op.py:4``)."""
@@ -60,12 +72,27 @@ class LastMessageOp(MessageOp):
     def __call__(self, hops):
         return hops[-1]
 
+    def linear_weights(self, k_all: int):
+        import numpy as np
+
+        w = np.zeros(k_all, np.float32)
+        w[-1] = 1.0
+        return w
+
 
 class SumMessageOp(MessageOp):
     aggr_type: str = "sum"
 
     def __call__(self, hops):
         return jnp.sum(self._slice(hops), axis=0)
+
+    def linear_weights(self, k_all: int):
+        import numpy as np
+
+        start, end = self._slice_range(k_all)
+        w = np.zeros(k_all, np.float32)
+        w[start:end] = 1.0
+        return w
 
 
 class MeanMessageOp(MessageOp):
@@ -75,6 +102,14 @@ class MeanMessageOp(MessageOp):
 
     def __call__(self, hops):
         return jnp.mean(self._slice(hops), axis=0)
+
+    def linear_weights(self, k_all: int):
+        import numpy as np
+
+        start, end = self._slice_range(k_all)
+        w = np.zeros(k_all, np.float32)
+        w[start:end] = 1.0 / max(end - start, 1)
+        return w
 
 
 class MaxMessageOp(MessageOp):
@@ -162,6 +197,23 @@ class SimpleWeightedMessageOp(MessageOp):
                 "Invalid weighted combination type! Type must be 'alpha' or 'hand_crafted'."
             )
         return jnp.tensordot(w.astype(h.dtype), h, axes=1)
+
+    def linear_weights(self, k_all: int):
+        import numpy as np
+
+        start, end = self._slice_range(k_all)
+        w = np.zeros(k_all, np.float32)
+        if self.combination_type == "alpha":
+            full = self.alpha * (1.0 - self.alpha) ** np.arange(k_all)
+            w[start:end] = full[start:end]
+        elif self.combination_type == "hand_crafted":
+            vals = np.asarray(self.weight_list, np.float32)
+            if vals.shape[0] != end - start:
+                return None
+            w[start:end] = vals
+        else:
+            return None
+        return w
 
 
 class LearnableWeightedMessageOp(MessageOp):

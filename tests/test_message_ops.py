@@ -155,3 +155,31 @@ def test_nafs_matches_reference_loop(hops):
     want = np.einsum("nk,knd->nd", w, h)
     got = np.asarray(eager_aggregate(OverSmoothDistanceWeightedOp(), hops))
     np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+
+def test_fused_linear_aggregation_matches_eager():
+    """k_hop_aggregate (O(N·D) memory) == propagate + eager aggregate."""
+    import numpy as np
+    from sgl_tpu.ops.graph_ops import LaplacianGraphOp
+    from tests.conftest import random_graph
+
+    g = random_graph(n=120, seed=41)
+    op = LaplacianGraphOp(3)
+    hops_arr = op.propagate(g, g.x)
+    for msg in [
+        LastMessageOp(),
+        SumMessageOp(start=0, end=4),
+        MeanMessageOp(start=1, end=3),
+        SimpleWeightedMessageOp(start=0, end=4, combination_type="alpha", alpha=0.85),
+        SimpleWeightedMessageOp(
+            start=1, end=3, combination_type="hand_crafted", weight_list=[0.2, 0.8]
+        ),
+    ]:
+        w = msg.linear_weights(4)
+        assert w is not None
+        fused = np.asarray(op.propagate_aggregate(g, g.x, w))
+        want = np.asarray(eager_aggregate(msg, hops_arr))
+        np.testing.assert_allclose(fused, want, rtol=1e-4, atol=1e-5)
+    # non-linear ops opt out
+    assert MaxMessageOp(start=0, end=4).linear_weights(4) is None
+    assert OverSmoothDistanceWeightedOp().linear_weights(4) is None
