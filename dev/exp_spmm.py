@@ -1,0 +1,525 @@
+"""Scratch experiment: SpMM gather-pipeline variants (not part of the package).
+
+Run on the real chip ALONE (one JAX process rule):
+    timeout 600 python exp_spmm.py [--micro] [--factored] [--current]
+
+Findings feed sgl_tpu/kernels/pallas_spmm.py.
+"""
+
+from __future__ import annotations
+
+import functools
+import sys
+import time
+
+import numpy as np
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def _sync(out):
+    import jax.numpy as jnp
+
+    return float(jnp.ravel(out)[0])
+
+
+def timed(fn, iters=3, reduce=np.median):
+    _sync(fn())
+    ts = []
+    for _ in range(iters):
+        t0 = time.perf_counter()
+        _sync(fn())
+        ts.append(time.perf_counter() - t0)
+    return float(reduce(ts))
+
+
+def slope(make_run, k1, k2, iters=5):
+    """Per-iteration time via min-of-repeats slope: the min estimates the
+    quiet-tunnel time; the tunneled TPU adds multi-ms noise spikes."""
+    t1 = timed(lambda: make_run(k1), iters, reduce=np.min)
+    t2 = timed(lambda: make_run(k2), iters, reduce=np.min)
+    return (t2 - t1) / (k2 - k1)
+
+
+# ---------------------------------------------------------------- factored kernel
+def build_factored():
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    from sgl_tpu.kernels.pallas_spmm import CHUNK, TILE_R, _round_up
+
+    def _seg_kernel_cat(chunk_tile_ref, dst_ref, m_ref, out_ref, *, d):
+        c = pl.program_id(0)
+        tile = chunk_tile_ref[c]
+        is_first = jnp.logical_or(
+            c == 0, chunk_tile_ref[jnp.maximum(c - 1, 0)] != tile
+        )
+
+        @pl.when(is_first)
+        def _():
+            out_ref[:] = jnp.zeros_like(out_ref)
+
+        local = dst_ref[0] - tile * TILE_R
+        rows = jax.lax.broadcasted_iota(jnp.int32, (TILE_R, CHUNK), 0)
+        onehot = (local == rows).astype(jnp.bfloat16)
+        m = m_ref[0]
+
+        def mm(mat):
+            return jax.lax.dot_general(
+                onehot,
+                mat,
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+
+        out_ref[:] += mm(m[:, :d]) + mm(m[:, d:])
+
+    @functools.partial(jax.jit, static_argnames=("num_nodes",))
+    def seg_reduce_cat(mcat, dst, chunk_tile, num_nodes: int):
+        e_pad, d2 = mcat.shape
+        d = d2 // 2
+        n_chunks = chunk_tile.shape[0]
+        n_tiles = pl.cdiv(num_nodes, TILE_R)
+        m3 = mcat.reshape(n_chunks, CHUNK, d2)
+        dst3 = dst.reshape(n_chunks, 1, CHUNK)
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(n_chunks,),
+            in_specs=[
+                pl.BlockSpec((1, 1, CHUNK), lambda c, ct: (c, 0, 0)),
+                pl.BlockSpec((1, CHUNK, d2), lambda c, ct: (c, 0, 0)),
+            ],
+            out_specs=pl.BlockSpec(
+                (TILE_R, d), lambda c, ct: (ct[c], 0), memory_space=pltpu.VMEM
+            ),
+        )
+        out = pl.pallas_call(
+            functools.partial(_seg_kernel_cat, d=d),
+            out_shape=jax.ShapeDtypeStruct((n_tiles * TILE_R, d), jnp.float32),
+            grid_spec=grid_spec,
+            cost_estimate=pl.CostEstimate(
+                flops=4 * e_pad * TILE_R * d,
+                bytes_accessed=e_pad * (d2 * 2 + 4) + n_tiles * TILE_R * d * 4,
+                transcendentals=0,
+            ),
+        )(chunk_tile, dst3, m3)
+        return out[:num_nodes]
+
+    def spmm_factored(adj_src_padrow, x, g_scale, f_scale, num_nodes):
+        """y = f ⊙ (S (g ⊙ x)); S = 0/1 scatter with padding src -> zero row."""
+        src, dst, chunk_tile = adj_src_padrow
+        d = x.shape[1]
+        d_pad = _round_up(d, 128)
+        xs = x.astype(jnp.float32) * g_scale[:, None]
+        if d_pad != d:
+            xs = jnp.pad(xs, ((0, 0), (0, d_pad - d)))
+        hi = xs.astype(jnp.bfloat16)
+        lo = (xs - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+        xcat = jnp.concatenate([hi, lo], axis=1)
+        xcat = jnp.pad(xcat, ((0, 1), (0, 0)))  # zero row at index N
+        msgs = jnp.take(xcat, src, axis=0)  # ONE gather, (E', 2*d_pad) bf16
+        out = seg_reduce_cat(msgs, dst, chunk_tile, num_nodes)
+        return out[:, :d] * f_scale[:, None]
+
+    # ---- variant C: gather raw f32 rows, split hi/lo inside the kernel ----
+    def _seg_kernel_f32(chunk_tile_ref, dst_ref, m_ref, out_ref):
+        c = pl.program_id(0)
+        tile = chunk_tile_ref[c]
+        is_first = jnp.logical_or(
+            c == 0, chunk_tile_ref[jnp.maximum(c - 1, 0)] != tile
+        )
+
+        @pl.when(is_first)
+        def _():
+            out_ref[:] = jnp.zeros_like(out_ref)
+
+        local = dst_ref[0] - tile * TILE_R
+        rows = jax.lax.broadcasted_iota(jnp.int32, (TILE_R, CHUNK), 0)
+        onehot = (local == rows).astype(jnp.bfloat16)
+        m = m_ref[0]
+        hi = m.astype(jnp.bfloat16)
+        lo = (m - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+
+        def mm(mat):
+            return jax.lax.dot_general(
+                onehot,
+                mat,
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+
+        out_ref[:] += mm(hi) + mm(lo)
+
+    @functools.partial(jax.jit, static_argnames=("num_nodes",))
+    def seg_reduce_f32(msgs, dst, chunk_tile, num_nodes: int):
+        e_pad, d = msgs.shape
+        n_chunks = chunk_tile.shape[0]
+        n_tiles = pl.cdiv(num_nodes, TILE_R)
+        m3 = msgs.reshape(n_chunks, CHUNK, d)
+        dst3 = dst.reshape(n_chunks, 1, CHUNK)
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(n_chunks,),
+            in_specs=[
+                pl.BlockSpec((1, 1, CHUNK), lambda c, ct: (c, 0, 0)),
+                pl.BlockSpec((1, CHUNK, d), lambda c, ct: (c, 0, 0)),
+            ],
+            out_specs=pl.BlockSpec(
+                (TILE_R, d), lambda c, ct: (ct[c], 0), memory_space=pltpu.VMEM
+            ),
+        )
+        out = pl.pallas_call(
+            _seg_kernel_f32,
+            out_shape=jax.ShapeDtypeStruct((n_tiles * TILE_R, d), jnp.float32),
+            grid_spec=grid_spec,
+            cost_estimate=pl.CostEstimate(
+                flops=4 * e_pad * TILE_R * d,
+                bytes_accessed=e_pad * (d * 4 + 4) + n_tiles * TILE_R * d * 4,
+                transcendentals=0,
+            ),
+        )(chunk_tile, dst3, m3)
+        return out[:num_nodes]
+
+    def spmm_factored_f32(adj_src_padrow, x, g_scale, f_scale, num_nodes):
+        src, dst, chunk_tile = adj_src_padrow
+        d = x.shape[1]
+        d_pad = _round_up(d, 128)
+        xs = x.astype(jnp.float32) * g_scale[:, None]
+        if d_pad != d:
+            xs = jnp.pad(xs, ((0, 0), (0, d_pad - d)))
+        xs = jnp.pad(xs, ((0, 1), (0, 0)))  # zero row at index N
+        msgs = jnp.take(xs, src, axis=0)  # ONE f32 gather (fastest layout)
+        out = seg_reduce_f32(msgs, dst, chunk_tile, num_nodes)
+        return out[:, :d] * f_scale[:, None]
+
+    return spmm_factored, spmm_factored_f32
+
+
+def make_graph(n=200_000, avg_deg=25, d=128):
+    from sgl_tpu.datasets.synthetic import random_power_law_graph
+    from sgl_tpu.graph import symmetric_normalized_weights
+
+    g = random_power_law_graph(n, avg_deg, d, seed=0)
+    adj = symmetric_normalized_weights(g)
+    return g, adj
+
+
+def factored_inputs(g, adj):
+    """Rebuild chunk layout with padding src -> num_nodes (zero row)."""
+    import jax.numpy as jnp
+
+    from sgl_tpu.kernels.pallas_spmm import prepare_chunked
+
+    ch = prepare_chunked(adj)
+    n = ch.num_nodes
+    src = np.asarray(ch.src).copy()
+    w = np.asarray(ch.w)
+    src[w == 0] = n  # padding -> zero row
+    # degrees for r=0.5 symmetric norm with self loops (matches
+    # symmetric_normalized_weights defaults)
+    deg = np.zeros(n, np.float64)
+    realdst = np.asarray(ch.dst)[w != 0]
+    np.add.at(deg, realdst, 1.0)
+    dinv = 1.0 / np.sqrt(np.maximum(deg, 1.0))
+    f = jnp.asarray(dinv.astype(np.float32))
+    return (jnp.asarray(src), ch.dst, ch.chunk_tile), f, ch
+
+
+def run_correctness():
+    import jax.numpy as jnp
+
+    from sgl_tpu.kernels.pallas_spmm import spmm_pallas
+    from sgl_tpu.kernels.sparse import spmm_segment
+
+    g, adj = make_graph(2000, 8, 64)
+    x = jnp.asarray(g.x)
+    ref = spmm_segment(adj, x)
+    spmm_factored, spmm_factored_f32 = build_factored()
+    (srcp, dst, ct), f, ch = factored_inputs(g, adj)
+    for name, fn in [("factored", spmm_factored), ("factored_f32", spmm_factored_f32)]:
+        out = fn((srcp, dst, ct), x, f, f, ch.num_nodes)
+        err = float(jnp.max(jnp.abs(out - ref)) / (jnp.max(jnp.abs(ref)) + 1e-30))
+        log(f"{name} max rel err vs segment: {err:.2e}")
+        assert err < 5e-3, (name, err)
+    old = spmm_pallas(ch, x)
+    err_old = float(jnp.max(jnp.abs(old - ref)) / (jnp.max(jnp.abs(ref)) + 1e-30))
+    log(f"current pallas max rel err:      {err_old:.2e}")
+
+
+def run_micro():
+    """Gather microbenchmarks: width/dtype/sortedness dependence."""
+    import jax
+    import jax.numpy as jnp
+
+    n, e = 200_000, 5_200_000
+    rng = np.random.default_rng(0)
+    idx = jnp.asarray(rng.integers(0, n, e).astype(np.int32))
+    idx_sorted = jnp.sort(idx)
+
+    def bench_gather(name, x, indices):
+        def run(k):
+            @jax.jit
+            def f(x, idx0):
+                acc = jnp.float32(0)
+                idx = idx0
+                for _ in range(k):
+                    y = jnp.take(x, idx, axis=0)
+                    s = y[0, 0].astype(jnp.float32)
+                    acc = acc + s
+                    idx = idx0 + (s * 0).astype(jnp.int32)  # serialize, no CSE
+                return acc
+
+            return f(x, indices)
+
+        per = slope(run, 2, 6)
+        log(f"gather[{name}]: {per*1e3:.2f} ms -> {per/e*1e9:.3f} ns/row")
+
+    for name, shape, dt in [
+        ("f32 d=128 (512B)", (n, 128), jnp.float32),
+        ("bf16 d=256 (512B)", (n, 256), jnp.bfloat16),
+        ("bf16 d=128 (256B)", (n, 128), jnp.bfloat16),
+        ("f32 d=256 (1KB)", (n, 256), jnp.float32),
+        ("f32 d=64 (256B)", (n, 64), jnp.float32),
+    ]:
+        x = jnp.ones(shape, dt)
+        bench_gather(name, x, idx)
+    x = jnp.ones((n, 128), jnp.float32)
+    bench_gather("f32 d=128 SORTED idx", x, idx_sorted)
+
+    # full current XLA message pipeline (gather*w -> hi/lo) for comparison
+    w = jnp.asarray(rng.random(e).astype(np.float32))
+
+    def run_pipe(k):
+        @jax.jit
+        def f(x, idx0, w):
+            acc = jnp.float32(0)
+            idx = idx0
+            for _ in range(k):
+                m = jnp.take(x, idx, axis=0).astype(jnp.float32) * w[:, None]
+                hi = m.astype(jnp.bfloat16)
+                lo = (m - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+                s = hi[0, 0].astype(jnp.float32) + lo[0, 0].astype(jnp.float32)
+                acc = acc + s
+                idx = idx0 + (s * 0).astype(jnp.int32)
+            return acc
+
+        return f(x, idx, w)
+
+    per = slope(run_pipe, 2, 6)
+    log(f"current msg pipeline: {per*1e3:.2f} ms -> {per/e*1e9:.3f} ns/edge")
+
+
+def run_perf():
+    import jax
+    import jax.numpy as jnp
+
+    from sgl_tpu.kernels.pallas_spmm import spmm_pallas
+
+    g, adj = make_graph()
+    nnz = int(np.sum(np.asarray(adj.w) != 0))
+    x = jnp.asarray(g.x)
+    spmm_factored, spmm_factored_f32 = build_factored()
+    (srcp, dst, ct), f, ch = factored_inputs(g, adj)
+    n = ch.num_nodes
+    log(f"graph: {g.num_nodes} nodes, {nnz} nnz, d={x.shape[1]}")
+
+    # adjacency passed as jit ARGUMENT (bench.py methodology) — closing over
+    # it constant-folds 80MB into the program and wrecks the timing
+    def chain(fn):
+        def run(k):
+            f_k = jax.jit(
+                lambda ops, xx, kk=k: jax.lax.fori_loop(
+                    0, kk, lambda i, y: fn(ops, y), xx
+                )[0, 0]
+            )
+            return f_k((srcp, dst, ct, f, ch), x)
+
+        return run
+
+    def cur(ops, y):
+        return spmm_pallas(ops[4], y)
+
+    def fac(ops, y):
+        return spmm_factored(ops[:3], y, ops[3], ops[3], n)
+
+    def fac32(ops, y):
+        return spmm_factored_f32(ops[:3], y, ops[3], ops[3], n)
+
+    for name, fn in [("current", cur), ("factored", fac), ("factored_f32", fac32)]:
+        per = slope(chain(fn), 6, 16)
+        log(f"spmm[{name}]: {per*1e3:.2f} ms/hop -> {nnz/per/1e9:.3f} G edges/s")
+
+
+def run_micro2():
+    """Gather cost vs index distribution: does row reuse (hubs/padding) help?"""
+    import jax
+    import jax.numpy as jnp
+
+    n, e = 200_000, 5_200_000
+    rng = np.random.default_rng(0)
+    x = jnp.ones((n, 128), jnp.float32)
+    wz = np.arange(1, n + 1, dtype=np.float64) ** (-1.2)
+    wz /= wz.sum()
+    cases = {
+        "uniform": rng.integers(0, n, e).astype(np.int32),
+        "zipf1.2": rng.choice(n, size=e, p=wz).astype(np.int32),
+        "all-zero": np.zeros(e, np.int32),
+        "hot1024": rng.integers(0, 1024, e).astype(np.int32),
+        "half-mix": np.where(
+            rng.random(e) < 0.5,
+            rng.integers(0, n, e),
+            rng.choice(n, size=e, p=wz),
+        ).astype(np.int32),
+    }
+
+    for name, idx_np in cases.items():
+        idx0 = jnp.asarray(idx_np)
+
+        def run(k):
+            @jax.jit
+            def f(x, idx0):
+                acc = jnp.float32(0)
+                idx = idx0
+                for _ in range(k):
+                    y = jnp.take(x, idx, axis=0)
+                    s = y[0, 0]
+                    acc = acc + s
+                    idx = idx0 + (s * 0).astype(jnp.int32)
+                return acc
+
+            return f(x, idx0)
+
+        per = slope(run, 2, 6)
+        log(f"gather[{name}]: {per*1e3:.2f} ms -> {per/e*1e9:.3f} ns/row")
+
+
+def run_chunk_sweep():
+    import jax
+    import jax.numpy as jnp
+
+    import sgl_tpu.kernels.pallas_spmm as ps
+
+    g, adj = make_graph()
+    nnz = int(np.sum(np.asarray(adj.w) != 0))
+    x = jnp.asarray(g.x)
+    log(f"graph: {g.num_nodes} nodes, {nnz} nnz, d={x.shape[1]}")
+    for chunk in (512, 1024, 2048, 4096):
+        ps.CHUNK = chunk
+        ch = ps.prepare_chunked(adj)
+        e_pad = int(ch.src.shape[0])
+
+        def run(k):
+            f_k = jax.jit(
+                lambda a, xx, kk=k: jax.lax.fori_loop(
+                    0, kk, lambda i, y: ps.spmm_pallas(a, y), xx
+                )[0, 0]
+            )
+            return f_k(ch, x)
+
+        per = slope(run, 6, 16)
+        log(
+            f"spmm[chunk={chunk}]: E'={e_pad} (pad {e_pad/nnz-1:+.1%}) "
+            f"{per*1e3:.2f} ms/hop -> {nnz/per/1e9:.3f} G edges/s"
+        )
+
+
+def run_split_perf():
+    """Measure the integrated diag/hub split (prepare_chunked options)."""
+    import jax
+    import jax.numpy as jnp
+
+    import sgl_tpu.kernels.pallas_spmm as ps
+    from sgl_tpu.kernels.sparse import spmm_segment
+
+    g, adj = make_graph()
+    n = g.num_nodes
+    nnz = int(np.sum(np.asarray(adj.w) != 0))
+    x = jnp.asarray(g.x)
+    ref = spmm_segment(adj, x)
+    log(f"graph: {n} nodes, {nnz} nnz, d={x.shape[1]}")
+
+    import dataclasses as dc
+
+    ps.CHUNK = 512
+    nosplit = ps.prepare_chunked(adj, split_diag=False, hub_k=0)
+    diagonly = ps.prepare_chunked(adj, hub_k=0)
+    diaghub = ps.prepare_chunked(adj, max_hub_bytes=2 << 30)
+    # diag-only, but the diag applied via 200k explicit self-edges through
+    # the segment backend instead of an elementwise pass
+    from sgl_tpu.kernels.sparse import SparseAdj
+
+    selfadj = SparseAdj(
+        jnp.arange(n, dtype=jnp.int32),
+        jnp.arange(n, dtype=jnp.int32),
+        diagonly.diag,
+        n,
+        True,
+    )
+    diag_as_edges = dc.replace(diagonly, diag=None)
+
+    configs = {
+        "nosplit": (nosplit, lambda a, y: ps.spmm_pallas(a, y)),
+        "nosplit+dummy": (
+            nosplit,
+            lambda a, y: ps.spmm_pallas(a, y) + 1e-30 * y,
+        ),
+        "diagonly": (diagonly, lambda a, y: ps.spmm_pallas(a, y)),
+        "diag-as-segment": (
+            diag_as_edges,
+            lambda a, y: ps.spmm_pallas(a, y) + spmm_segment(selfadj, y),
+        ),
+        "diag+hub": (diaghub, lambda a, y: ps.spmm_pallas(a, y)),
+    }
+
+    def make_run(cfg, k):
+        ch, fn = cfg
+        f_k = jax.jit(
+            lambda a, xx: jax.lax.fori_loop(
+                0, k, lambda i, y: fn(a, y), xx
+            )[0, 0]
+        )
+        return lambda: f_k(ch, x)
+
+    for name, (ch, fn) in configs.items():
+        out = fn(ch, x)
+        err = float(jnp.max(jnp.abs(out - ref)) / (jnp.max(jnp.abs(ref)) + 1e-30))
+        log(f"  {name}: E'={int(ch.src.shape[0])} "
+            f"hubs={None if ch.hub_ids is None else ch.hub_ids.shape[0]} "
+            f"err {err:.1e}")
+
+    # interleave repetitions across configs so a slow tunnel window cannot
+    # bias one config; per-config estimate = min over rounds
+    best = {name: np.inf for name in configs}
+    k1, k2 = 6, 16
+    for rnd in range(3):
+        for name, cfg in configs.items():
+            t1 = timed(make_run(cfg, k1), iters=2, reduce=np.min)
+            t2 = timed(make_run(cfg, k2), iters=2, reduce=np.min)
+            best[name] = min(best[name], (t2 - t1) / (k2 - k1))
+        log(f"-- round {rnd}: " + "  ".join(
+            f"{n}={v*1e3:.2f}ms" for n, v in best.items()))
+    for name, per in best.items():
+        log(f"spmm[{name}]: {per*1e3:.2f} ms/hop -> {nnz/per/1e9:.3f} G edges/s")
+
+
+if __name__ == "__main__":
+    args = set(sys.argv[1:]) or {"--check"}
+    import jax
+
+    log("devices:", jax.devices())
+    if "--check" in args:
+        run_correctness()
+    if "--micro" in args:
+        run_micro()
+    if "--micro2" in args:
+        run_micro2()
+    if "--perf" in args:
+        run_perf()
+    if "--sweep" in args:
+        run_chunk_sweep()
+    if "--split" in args:
+        run_split_perf()

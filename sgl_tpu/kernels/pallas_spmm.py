@@ -21,7 +21,13 @@ hand-written TPU kernel.  Strategy — nothing like the reference's C kernels
 
 Scatter-add becomes dense matmul, far below the MXU roofline, so the
 scatter phase is HBM-bound; the measured end-to-end bound is the XLA row
-gather in step 1 (~2.5 ns/row on v5e).
+gather in step 1 (~3.5 ns/row on v5e, payload-size independent).  Because
+the gather is pay-per-row, two edge classes are split out of it entirely
+at preparation time (see :class:`ChunkedAdj`): self-loops become one fused
+``diag ⊙ x`` elementwise op, and edges out of the k highest-degree sources
+become one dense ``hub_m @ x[hubs]`` MXU matmul — on power-law graphs the
+hubs carry 30–50% of all edges, and streaming a dense (N, k) strip is far
+cheaper than gathering those rows edge by edge.
 
 Precision: the one-hot is exact in bf16 and ``hi + lo`` reconstructs f32 to
 ~2^-16 relative error at single-pass bf16 MXU throughput (6x cheaper than
@@ -33,6 +39,7 @@ from __future__ import annotations
 import dataclasses
 import functools
 import os
+from typing import Optional
 
 import jax
 import jax.numpy as jnp
@@ -43,8 +50,10 @@ from jax.experimental.pallas import tpu as pltpu
 from sgl_tpu.kernels.sparse import SparseAdj, spmm_segment
 
 TILE_R = 128  # output rows per tile (MXU-aligned)
-# edges per chunk: 2048 won a sweep over {512, 1024, 2048, 4096} on v5e
-CHUNK = int(os.environ.get("SGL_TPU_SPMM_CHUNK", "2048"))
+# edges per chunk: 512 won a sweep over {128..4096} on v5e once diag/hub
+# splitting landed (smaller chunks cut per-tile padding, and the gather —
+# not the MXU reduction — is the bound, so narrow matmuls cost nothing)
+CHUNK = int(os.environ.get("SGL_TPU_SPMM_CHUNK", "512"))
 
 
 def _round_up(x: int, m: int) -> int:
@@ -60,6 +69,18 @@ class ChunkedAdj:
     target the same 128-row output tile (``chunk_tile`` maps chunk → tile).
     Padding edges have ``w == 0`` and an in-tile dst.  Built host-side once
     per graph by :func:`prepare_chunked`.
+
+    The hot loop is bound by the per-edge feature-row gather (~3.5 ns/row
+    on v5e, payload-size independent), so two edge classes are split out of
+    the gather entirely:
+
+    * ``diag``: self-loop weights — applied as ``diag ⊙ x`` (one fused
+      elementwise op instead of N gathered rows);
+    * ``hub_ids``/``hub_m``: edges whose *source* is one of the k
+      highest-out-degree nodes — applied as a dense ``hub_m @ x[hub_ids]``
+      MXU matmul.  Power-law graphs concentrate 30–50% of edges in a few
+      thousand hubs; a dense (N, k) strip is far cheaper to stream than
+      those rows are to gather.
     """
 
     src: jnp.ndarray  # [E'] int32
@@ -67,29 +88,105 @@ class ChunkedAdj:
     w: jnp.ndarray  # [E'] float32, 0 on padding
     chunk_tile: jnp.ndarray  # [n_chunks] int32
     num_nodes: int
+    diag: Optional[jnp.ndarray] = None  # [N] f32 self-loop weights
+    hub_ids: Optional[jnp.ndarray] = None  # [k] int32 hub node ids
+    hub_m: Optional[jnp.ndarray] = None  # [N, k] f32 dense hub columns
 
     def tree_flatten(self):
-        return (self.src, self.dst, self.w, self.chunk_tile), (self.num_nodes,)
+        return (
+            self.src,
+            self.dst,
+            self.w,
+            self.chunk_tile,
+            self.diag,
+            self.hub_ids,
+            self.hub_m,
+        ), (self.num_nodes,)
 
     @classmethod
     def tree_unflatten(cls, aux, leaves):
-        return cls(*leaves, aux[0])
+        src, dst, w, chunk_tile, diag, hub_ids, hub_m = leaves
+        return cls(
+            src,
+            dst,
+            w,
+            chunk_tile,
+            num_nodes=aux[0],
+            diag=diag,
+            hub_ids=hub_ids,
+            hub_m=hub_m,
+        )
 
     @property
     def n_chunks(self) -> int:
         return int(self.chunk_tile.shape[0])
 
     def transpose_sparse(self) -> SparseAdj:
-        """Transposed edges as a plain SparseAdj (for the VJP)."""
+        """Transposed *chunked-part* edges as a plain SparseAdj (for the
+        VJP; diag/hub extras are transposed separately)."""
         return SparseAdj(self.dst, self.src, self.w, self.num_nodes, False)
 
+    def apply_extras(self, x: jnp.ndarray, y: jnp.ndarray) -> jnp.ndarray:
+        """Add the split-out diag/hub contributions of ``adj @ x`` to ``y``."""
+        if self.diag is not None:
+            y = y + self.diag[:, None].astype(y.dtype) * x.astype(y.dtype)
+        if self.hub_ids is not None:
+            xh = jnp.take(x, self.hub_ids, axis=0).astype(jnp.float32)
+            y = y + jax.lax.dot(
+                self.hub_m, xh, precision=jax.lax.Precision.HIGHEST
+            ).astype(y.dtype)
+        return y
 
-def prepare_chunked(adj: SparseAdj) -> ChunkedAdj:
+    def extras_transpose_vjp(self, g: jnp.ndarray) -> jnp.ndarray:
+        """diag/hub part of ``A^T g`` (cotangent of ``apply_extras`` w.r.t x)."""
+        dx = jnp.zeros((self.num_nodes, g.shape[1]), g.dtype)
+        if self.diag is not None:
+            dx = dx + self.diag[:, None].astype(g.dtype) * g
+        if self.hub_ids is not None:
+            dh = jax.lax.dot(
+                self.hub_m.T,
+                g.astype(jnp.float32),
+                precision=jax.lax.Precision.HIGHEST,
+            ).astype(g.dtype)
+            dx = dx.at[self.hub_ids].add(dh)
+        return dx
+
+
+def _select_hubs(src: np.ndarray, n: int, hub_k, max_hub_bytes: int):
+    """Pick hub sources worth the dense path.
+
+    A dense hub column costs one streamed read of N·4 bytes per hop
+    (~N·5ps at v5e HBM bandwidth); a gathered edge costs ~3.5 ns.  A node
+    pays its way when out-degree ≥ N·4B/BW / 3.5ns ≈ N/700.
+    """
+    if hub_k in (0, None):
+        return None
+    counts = np.bincount(src, minlength=n)
+    if hub_k == "auto":
+        cutoff = max(n // 700, 32)
+        k = int(np.count_nonzero(counts >= cutoff))
+    else:
+        k = int(hub_k)
+    k = min(k, 8192, max_hub_bytes // max(4 * n, 1))
+    if k < 16:
+        return None
+    return np.argpartition(-counts, k - 1)[:k].astype(np.int32)
+
+
+def prepare_chunked(
+    adj: SparseAdj,
+    *,
+    split_diag: bool = True,
+    hub_k="auto",
+    max_hub_bytes: int = 512 << 20,
+    chunk: Optional[int] = None,
+) -> ChunkedAdj:
     """Re-layout a dst-sorted ``SparseAdj`` into per-tile whole chunks.
 
     Every tile (even an empty one) gets at least one chunk so its output
     block is always written.  Host-side numpy; run once per graph and reuse
-    across hops/epochs.
+    across hops/epochs.  ``split_diag``/``hub_k`` move self-loops and
+    high-out-degree sources out of the gather path (see :class:`ChunkedAdj`).
     """
     src = np.asarray(adj.src)
     dst = np.asarray(adj.dst)
@@ -100,10 +197,36 @@ def prepare_chunked(adj: SparseAdj) -> ChunkedAdj:
     keep = w != 0
     src, dst, w = src[keep], dst[keep], w[keep]
     n = adj.num_nodes
+
+    selfm = src == dst
+    hubs = _select_hubs(src[~selfm], n, hub_k, max_hub_bytes)
+
+    # Measured v5e quirk: adding `diag ⊙ x` to the Pallas output WITHOUT the
+    # hub matmul in the same sum de-fuses the XLA gather pipeline and costs
+    # far more than the removed rows save (26.5 → 42.9 ms/hop on the 5.2M
+    # edge bench); with the hub matmul present the same add is free.  So the
+    # diag split is only taken together with the hub split.
+    diag = None
+    if split_diag and hubs is not None and bool(np.any(selfm)):
+        diag = np.zeros(n, np.float32)
+        np.add.at(diag, dst[selfm], w[selfm])
+        src, dst, w = src[~selfm], dst[~selfm], w[~selfm]
+
+    hub_ids = hub_m = None
+    if hubs is not None:
+        col = np.full(n, -1, np.int64)
+        col[hubs] = np.arange(hubs.shape[0])
+        hubm = col[src] >= 0
+        hub_m = np.zeros((n, hubs.shape[0]), np.float32)
+        np.add.at(hub_m, (dst[hubm], col[src[hubm]]), w[hubm])
+        src, dst, w = src[~hubm], dst[~hubm], w[~hubm]
+        hub_ids = hubs
+
+    chunk = chunk or CHUNK
     n_tiles = _round_up(n, TILE_R) // TILE_R
     tile_of = dst // TILE_R
     counts = np.bincount(tile_of, minlength=n_tiles)
-    padded = np.maximum(_round_up_arr(counts, CHUNK), CHUNK)
+    padded = np.maximum(_round_up_arr(counts, chunk), chunk)
     offsets = np.concatenate([[0], np.cumsum(padded)])
     e_out = int(offsets[-1])
     out_src = np.zeros(e_out, np.int32)
@@ -119,7 +242,7 @@ def prepare_chunked(adj: SparseAdj) -> ChunkedAdj:
     out_dst[pos] = dst
     out_w[pos] = w
     chunk_tile = np.repeat(
-        np.arange(n_tiles, dtype=np.int32), (padded // CHUNK)
+        np.arange(n_tiles, dtype=np.int32), (padded // chunk)
     )
     return ChunkedAdj(
         jnp.asarray(out_src),
@@ -127,6 +250,9 @@ def prepare_chunked(adj: SparseAdj) -> ChunkedAdj:
         jnp.asarray(out_w),
         jnp.asarray(chunk_tile),
         num_nodes=n,
+        diag=None if diag is None else jnp.asarray(diag),
+        hub_ids=None if hub_ids is None else jnp.asarray(hub_ids),
+        hub_m=None if hub_m is None else jnp.asarray(hub_m),
     )
 
 
@@ -143,9 +269,10 @@ def _seg_kernel(chunk_tile_ref, dst_ref, hi_ref, lo_ref, out_ref):
     def _():
         out_ref[:] = jnp.zeros_like(out_ref)
 
-    local = dst_ref[0] - tile * TILE_R  # (1, CHUNK)
-    rows = jax.lax.broadcasted_iota(jnp.int32, (TILE_R, CHUNK), 0)
-    onehot = (local == rows).astype(jnp.bfloat16)  # (TILE_R, CHUNK)
+    chunk = dst_ref.shape[-1]
+    local = dst_ref[0] - tile * TILE_R  # (1, chunk)
+    rows = jax.lax.broadcasted_iota(jnp.int32, (TILE_R, chunk), 0)
+    onehot = (local == rows).astype(jnp.bfloat16)  # (TILE_R, chunk)
 
     def mm(m):
         return jax.lax.dot_general(
@@ -162,24 +289,27 @@ def _seg_kernel(chunk_tile_ref, dst_ref, hi_ref, lo_ref, out_ref):
 def _segment_reduce_mxu(hi, lo, dst, chunk_tile, num_nodes: int, interpret: bool = False):
     """Tile-chunked segment sum via the Pallas kernel.
 
-    hi/lo: [E', D] bf16 message halves (E' = n_chunks * CHUNK, D % 128 == 0)
-    dst:   [E'] int32; chunk_tile: [n_chunks] int32 (non-decreasing)
+    hi/lo: [E', D] bf16 message halves (E' = n_chunks * chunk, D % 128 == 0)
+    dst:   [E'] int32; chunk_tile: [n_chunks] int32 (non-decreasing).
+    The chunk size is derived from the shapes (layouts built with any
+    ``prepare_chunked`` chunk setting stay valid).
     """
     e_pad, d = hi.shape
     n_chunks = chunk_tile.shape[0]
-    assert e_pad == n_chunks * CHUNK and d % 128 == 0
+    chunk = e_pad // n_chunks
+    assert e_pad == n_chunks * chunk and d % 128 == 0
     n_tiles = pl.cdiv(num_nodes, TILE_R)
-    hi3 = hi.reshape(n_chunks, CHUNK, d)
-    lo3 = lo.reshape(n_chunks, CHUNK, d)
-    dst3 = dst.reshape(n_chunks, 1, CHUNK)
+    hi3 = hi.reshape(n_chunks, chunk, d)
+    lo3 = lo.reshape(n_chunks, chunk, d)
+    dst3 = dst.reshape(n_chunks, 1, chunk)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(n_chunks,),
         in_specs=[
-            pl.BlockSpec((1, 1, CHUNK), lambda c, ct: (c, 0, 0)),
-            pl.BlockSpec((1, CHUNK, d), lambda c, ct: (c, 0, 0)),
-            pl.BlockSpec((1, CHUNK, d), lambda c, ct: (c, 0, 0)),
+            pl.BlockSpec((1, 1, chunk), lambda c, ct: (c, 0, 0)),
+            pl.BlockSpec((1, chunk, d), lambda c, ct: (c, 0, 0)),
+            pl.BlockSpec((1, chunk, d), lambda c, ct: (c, 0, 0)),
         ],
         out_specs=pl.BlockSpec(
             (TILE_R, d), lambda c, ct: (ct[c], 0), memory_space=pltpu.VMEM
@@ -229,7 +359,7 @@ def _spmm_pallas_impl(adj: ChunkedAdj, x: jnp.ndarray, interpret: bool = False) 
     out = _segment_reduce_mxu(
         hi, lo, adj.dst, adj.chunk_tile, num_nodes=adj.num_nodes, interpret=interpret
     )
-    return out[:, :d].astype(x.dtype)
+    return adj.apply_extras(x, out[:, :d]).astype(x.dtype)
 
 
 @jax.tree_util.register_pytree_node_class
@@ -262,12 +392,15 @@ def prepare_chunked_parts(adj: SparseAdj, max_edges_per_part: int = 16 << 20):
     papers100M scale), where an (E, D) message buffer cannot materialize.
 
     Parts share one kernel compilation: chunk and tile counts are padded to
-    the per-part maxima.
+    the per-part maxima.  diag/hub splitting is disabled: the dense hub
+    strip of a huge graph would not fit HBM, and the part loop re-slices
+    raw edge arrays.
     """
-    full = prepare_chunked(adj)
+    full = prepare_chunked(adj, split_diag=False, hub_k=0)
     chunk_tile = np.asarray(full.chunk_tile)
     n_chunks = chunk_tile.shape[0]
-    max_chunks = max(max_edges_per_part // CHUNK, 1)
+    chunk = full.src.shape[0] // n_chunks
+    max_chunks = max(max_edges_per_part // chunk, 1)
     # split points at tile boundaries, greedy by chunk count
     splits = [0]
     last = 0
@@ -285,15 +418,15 @@ def prepare_chunked_parts(adj: SparseAdj, max_edges_per_part: int = 16 << 20):
         t_lo = int(chunk_tile[lo])
         t_hi = int(chunk_tile[hi - 1]) + 1
         pad_c = part_chunks - (hi - lo)
-        e_lo, e_hi = lo * CHUNK, hi * CHUNK
+        e_lo, e_hi = lo * chunk, hi * chunk
         last_tile = t_hi - t_lo - 1  # padding must keep chunk_tile
         # non-decreasing, else the revisit logic would re-zero an earlier tile
-        p_src = np.concatenate([src[e_lo:e_hi], np.zeros(pad_c * CHUNK, np.int32)])
+        p_src = np.concatenate([src[e_lo:e_hi], np.zeros(pad_c * chunk, np.int32)])
         p_dst = np.concatenate(
             [dst[e_lo:e_hi] - t_lo * TILE_R,
-             np.full(pad_c * CHUNK, last_tile * TILE_R, np.int32)]
+             np.full(pad_c * chunk, last_tile * TILE_R, np.int32)]
         ).astype(np.int32)
-        p_w = np.concatenate([w[e_lo:e_hi], np.zeros(pad_c * CHUNK, np.float32)])
+        p_w = np.concatenate([w[e_lo:e_hi], np.zeros(pad_c * chunk, np.float32)])
         p_ct = np.concatenate(
             [chunk_tile[lo:hi] - t_lo, np.full(pad_c, last_tile, np.int32)]
         ).astype(np.int32)
@@ -345,6 +478,7 @@ def _spmm_pallas_fwd(adj, x, interpret):
 def _spmm_pallas_bwd(interpret, adj, g):
     # d/dx (A x) applied to cotangent g is A^T g (off the hot path)
     dx = spmm_segment(adj.transpose_sparse(), g)
+    dx = dx + adj.extras_transpose_vjp(g)
     return (None, dx)
 
 

@@ -100,7 +100,10 @@ def spmm(adj: SparseAdj, x: jnp.ndarray, backend: Optional[str] = None) -> jnp.n
         backend = "pallas" if isinstance(adj, ChunkedAdj) else "segment"
     if backend == "segment":
         if isinstance(adj, ChunkedAdj):
-            adj = SparseAdj(adj.src, adj.dst, adj.w, adj.num_nodes, False)
+            y = spmm_segment(
+                SparseAdj(adj.src, adj.dst, adj.w, adj.num_nodes, False), x
+            )
+            return adj.apply_extras(x, y).astype(x.dtype)
         return spmm_segment(adj, x)
     if backend == "pallas":
         return spmm_pallas(adj, x)
