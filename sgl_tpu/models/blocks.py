@@ -27,7 +27,10 @@ class PReLU(nn.Module):
     @nn.compact
     def __call__(self, x):
         a = self.param("negative_slope", lambda k: jnp.asarray(self.init, jnp.float32))
-        return jnp.where(x >= 0, x, a * x)
+        # cast the slope to the activation dtype: an f32 scalar would
+        # silently promote bf16 activations to f32 and force a cast
+        # round-trip of the whole (B, hidden) tensor every layer
+        return jnp.where(x >= 0, x, a.astype(x.dtype) * x)
 
 
 class IdenticalMapping(nn.Module):

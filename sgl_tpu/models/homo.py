@@ -115,6 +115,7 @@ class GAMLP(SGAPModel):
         hidden_dim: int,
         num_layers: int,
         compute_dtype=None,
+        dropout: float = 0.5,
     ):
         super().__init__(
             prop_steps,
@@ -133,6 +134,7 @@ class GAMLP(SGAPModel):
                 num_layers=num_layers,
                 output_dim=output_dim,
                 compute_dtype=compute_dtype,
+                dropout=dropout,
             ),
         )
 

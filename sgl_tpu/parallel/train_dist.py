@@ -46,6 +46,9 @@ def make_parallel_train_step(
 
     @jax.jit
     def step(state: TrainState, feats, labels, w):
+        # stays threefry (no fast_dropout_key): rbg bits are not stable
+        # across GSPMD partitionings, and this step's contract is
+        # bit-identity with the single-device step (tested)
         rng, dropout_rng = jax.random.split(state.rng)
 
         def objective(params):

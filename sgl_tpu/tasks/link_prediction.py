@@ -31,7 +31,13 @@ from sgl_tpu.graph.graph import Graph
 from sgl_tpu.tasks.base_task import BaseTask
 from sgl_tpu.tasks.node_classification import _make_apply
 from sgl_tpu.tasks.node_clustering import nafs_smooth_features
-from sgl_tpu.tasks.utils import TrainState, adam_l2, init_train_state, set_seed
+from sgl_tpu.tasks.utils import (
+    TrainState,
+    adam_l2,
+    fast_dropout_key,
+    init_train_state,
+    set_seed,
+)
 
 
 def _sample_negative_edges(num_nodes: int, count: int, forbidden: set, rng):
@@ -173,6 +179,7 @@ class LinkPredictionGAE(BaseTask):
         @jax.jit
         def train_step(state: TrainState, feats, tr_edges, tr_labels):
             rng, dropout = jax.random.split(state.rng)
+            dropout = fast_dropout_key(dropout)
 
             def objective(p):
                 z = apply_fn(p, feats, train=True, rngs={"dropout": dropout})

@@ -23,7 +23,13 @@ from sgl_tpu.ops.graph_ops import k_hop_propagate
 from sgl_tpu.tasks.base_task import BaseTask
 from sgl_tpu.tasks.clustering_metrics import clustering_metrics
 from sgl_tpu.tasks.node_classification import _make_apply
-from sgl_tpu.tasks.utils import TrainState, adam_l2, init_train_state, set_seed
+from sgl_tpu.tasks.utils import (
+    TrainState,
+    adam_l2,
+    fast_dropout_key,
+    init_train_state,
+    set_seed,
+)
 
 
 def cluster_loss(train_output, y_pred, cluster_centers):
@@ -105,6 +111,7 @@ class NodeClustering(BaseTask):
         @jax.jit
         def grad_step(state: TrainState, feats, y_pred, centers):
             rng, dropout = jax.random.split(state.rng)
+            dropout = fast_dropout_key(dropout)
 
             def objective(p):
                 out = apply_fn(p, feats, train=True, rngs={"dropout": dropout})

@@ -100,6 +100,21 @@ def weighted_accuracy(logits, labels, w):
     return jnp.sum(hit * w) / jnp.maximum(jnp.sum(w), 1.0)
 
 
+def fast_dropout_key(key: jax.Array) -> jax.Array:
+    """Derive an XLA-RngBitGenerator ('rbg') key from a threefry key.
+
+    Threefry dropout-mask generation costs ~5 ms/step for a (100k, 512)
+    MLP on v5e — half the full-batch GAMLP step; rbg bits are ~3x faster
+    (85 -> 130 epochs/s measured).  The train-state key stays threefry
+    (raw uint32, picklable, backend-portable); only the per-step mask key
+    is rbg.  rbg streams are deterministic per backend+compile but not
+    across backends — fine for dropout, which only needs distributional
+    correctness (the torch reference's RNG stream differs anyway).
+    """
+    data = jax.random.bits(key, (4,), jnp.uint32)
+    return jax.random.wrap_key_data(data, impl="rbg")
+
+
 def make_train_step(
     apply_fn: Callable,
     tx: optax.GradientTransformation,
@@ -116,6 +131,7 @@ def make_train_step(
     @jax.jit
     def step(state: TrainState, feats, labels, w):
         rng, dropout_rng = jax.random.split(state.rng)
+        dropout_rng = fast_dropout_key(dropout_rng)
 
         def objective(params):
             logits = apply_fn(
