@@ -57,11 +57,14 @@ def main():
     rng = jax.random.PRNGKey(0)
     tx = adam_l2(0.1, 5e-5)
 
-    def build(compute_dtype, dropout=0.5, rbg=False):
+    def build(compute_dtype, dropout=0.5, rbg=False, node_major=True):
+        from sgl_tpu.models.base import SGAPNet
+
         model = GAMLP(
             hops, d, classes, hidden_dim=512, num_layers=3,
             compute_dtype=compute_dtype, dropout=dropout,
         )
+        model.node_major = node_major
         model.preprocess(g, g.x)
         params = model.init(rng, idx[:2])
         r = jax.random.key(0, impl="rbg") if rbg else rng  # typed key keeps impl
@@ -96,13 +99,12 @@ def main():
 
     cases = {}
     for name, dt in [("f32", None), ("bf16", jnp.bfloat16)]:
-        net, state, feats = build(dt)
-        cases[f"step/{name}"] = ("step", make_step(net, False), state, feats)
-        cases[f"fwd/{name}"] = ("fwd", make_fwd(net), state, feats)
-        net, state, feats = build(dt, dropout=0.0)
-        cases[f"step/{name}-nodrop"] = ("step", make_step(net, False), state, feats)
-        net, state, feats = build(dt, rbg=True)
-        cases[f"step/{name}+rbg"] = ("step", make_step(net, False), state, feats)
+        net, state, feats = build(dt, rbg=True, node_major=True)
+        cases[f"step/{name}+nm"] = ("step", make_step(net, False), state, feats)
+        cases[f"fwd/{name}+nm"] = ("fwd", make_fwd(net), state, feats)
+        net, state, feats = build(dt, rbg=True, node_major=False)
+        cases[f"step/{name}+hm"] = ("step", make_step(net, False), state, feats)
+        cases[f"fwd/{name}+hm"] = ("fwd", make_fwd(net), state, feats)
 
     def runner(kind, fn, state, feats, k):
         if kind == "step":

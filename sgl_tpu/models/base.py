@@ -32,17 +32,25 @@ from sgl_tpu.ops.message_ops import LEARNABLE_AGGR_TYPES, MessageOp
 
 
 class SGAPNet(nn.Module):
-    """The trainable stage-2 network: (learnable msg op ∘) base model."""
+    """The trainable stage-2 network: (learnable msg op ∘) base model.
+
+    ``node_major=True`` means batch features arrive as ``(B, K, D)``
+    (transpose-free layout for per-node hop attention; see
+    ``LearnableWeightedMessageOp``)."""
 
     msg_op: Optional[MessageOp]  # None when aggregation was eager
     base_model: nn.Module
+    node_major: bool = False
 
     @nn.compact
     def __call__(self, feats, train: bool = False):
         h = feats
         if self.msg_op is not None:
             # only learnable message ops live inside the net; all take `train`
-            h = self.msg_op(h, train=train)
+            if self.node_major:
+                h = self.msg_op(h, train=train, node_major=True)
+            else:
+                h = self.msg_op(h, train=train)
         return _apply_base(self.base_model, h, train)
 
 
@@ -88,7 +96,15 @@ class SGAPModel:
         self.pre_msg_learnable: bool = bool(
             pre_msg_op is not None and pre_msg_op.aggr_type in LEARNABLE_AGGR_TYPES
         )
-        self.processed_feature: Optional[jnp.ndarray] = None  # (N,D') or (K+1,N,D)
+        # node_major=True caches the hop stack as (N, K+1, D) and runs the
+        # attention ops transpose-free.  Measured on v5e it LOSES to
+        # hop-major (GAMLP fwd 2.6 vs 0.9 ms): with K+1 ≈ 4 in the sublane
+        # dimension the (B, K, D) tiles are mostly padding, while XLA fuses
+        # the hop-major transposes well.  Kept as an opt-in (flip before
+        # preprocess) for deep-hop regimes where K+1 fills the 8-sublane
+        # tile; requires a pre_msg_op with supports_node_major.
+        self.node_major: bool = False
+        self.processed_feature: Optional[jnp.ndarray] = None  # (N,D') / (K+1,N,D) / (N,K+1,D)
 
     # -- stage 1: pre-propagation (training-free) --------------------------
     def preprocess(self, graph: Graph, x=None) -> None:
@@ -96,7 +112,10 @@ class SGAPModel:
             x = graph.x
         if self.pre_graph_op is not None:
             if self.pre_msg_learnable:
-                self.processed_feature = self.pre_graph_op.propagate(graph, x)
+                hops = self.pre_graph_op.propagate(graph, x)
+                if self.node_major:
+                    hops = jnp.moveaxis(hops, 0, 1)  # one-time (N, K+1, D)
+                self.processed_feature = hops
                 return
             # linear aggregations fuse into the propagation scan: peak
             # memory O(N·D) instead of O((K+1)·N·D)
@@ -118,13 +137,14 @@ class SGAPModel:
         return SGAPNet(
             msg_op=self.pre_msg_op if self.pre_msg_learnable else None,
             base_model=self.base_model,
+            node_major=self.node_major,
         )
 
     def batch_input(self, idx) -> jnp.ndarray:
         """Slice cached features for a node-index batch (device gather)."""
         if self.processed_feature is None:
             raise RuntimeError("call preprocess() before training")
-        if self.pre_msg_learnable:
+        if self.pre_msg_learnable and not self.node_major:
             return jnp.take(self.processed_feature, idx, axis=1)
         return jnp.take(self.processed_feature, idx, axis=0)
 
@@ -140,7 +160,8 @@ class SGAPModel:
 
     def _num_cached_nodes(self) -> int:
         pf = self.processed_feature
-        return int(pf.shape[1] if self.pre_msg_learnable else pf.shape[0])
+        hop_major = self.pre_msg_learnable and not self.node_major
+        return int(pf.shape[1] if hop_major else pf.shape[0])
 
     # -- stage 3: post-propagation (training-free) --------------------------
     def postprocess(self, graph: Graph, logits: jnp.ndarray) -> jnp.ndarray:

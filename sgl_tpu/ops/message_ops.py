@@ -43,6 +43,9 @@ class MessageOp(nn.Module):
     end: Optional[int] = None
 
     aggr_type: str = ""
+    # ops that accept a (B, K, D) node-major hop stack (a transpose-free
+    # layout for per-node attention) override this to True
+    supports_node_major: bool = False
 
     def _slice(self, hops: jnp.ndarray) -> jnp.ndarray:
         return hops[self.start : self.end]
@@ -219,6 +222,14 @@ class SimpleWeightedMessageOp(MessageOp):
 class LearnableWeightedMessageOp(MessageOp):
     """Learnable hop weighting, 5 combination types (reference
     ``learnable_weighted_messahe_op.py:10-101``; GAMLP's JK attention = 'jk').
+
+    ``node_major=True`` accepts the hop stack as ``(B, K, D)`` instead of
+    ``(K, B, D)``.  Same math, same params — but the 'jk' reference concat
+    becomes a free reshape instead of a (K·B·D) transpose, and every einsum
+    runs in the batch-major layout.  At GAMLP full-batch scale the per-step
+    transposes are ~200 MB each, a measurable slice of the train step;
+    ``SGAPModel`` stores the cached hop tensor node-major when the message
+    op supports it.
     """
 
     combination_type: str = "simple"
@@ -226,11 +237,15 @@ class LearnableWeightedMessageOp(MessageOp):
     feat_dim: int = 0  # required for 'gate'/'ori_ref'/'jk'
 
     aggr_type: str = "learnable_weighted"
+    supports_node_major: bool = True
 
     @nn.compact
-    def __call__(self, hops, train: bool = False):
-        h = self._slice(hops)  # (K, B, D)
-        k, b, d = h.shape
+    def __call__(self, hops, train: bool = False, node_major: bool = False):
+        hop_ax = 1 if node_major else 0
+        h = (
+            hops[:, self.start : self.end] if node_major else self._slice(hops)
+        )  # (B, K, D) or (K, B, D)
+        d = h.shape[-1]
         ct = self.combination_type
         if ct in ("simple", "simple_allow_neg"):
             # xavier_normal on a (1, prop_steps+1) tensor (reference :32-35)
@@ -239,12 +254,16 @@ class LearnableWeightedMessageOp(MessageOp):
             w = w_full[self.start : self.end]
             if ct == "simple":
                 w = nn.softmax(nn.sigmoid(w))
+            if node_major:
+                return jnp.einsum("k,bkd->bd", w, h)
             return jnp.tensordot(w, h, axes=1)
 
         if ct == "gate":
             gate = nn.Dense(1)
-            logits = jnp.squeeze(gate(h), axis=-1)  # (K, B)
-            w = nn.softmax(nn.sigmoid(logits), axis=0)  # over hops, per node
+            logits = jnp.squeeze(gate(h), axis=-1)  # (K, B) / (B, K)
+            w = nn.softmax(nn.sigmoid(logits), axis=hop_ax)  # over hops, per node
+            if node_major:
+                return jnp.einsum("bk,bkd->bd", w, h)
             return jnp.einsum("kb,kbd->bd", w, h)
 
         # ori_ref / jk: gate(concat(reference, hop_k)).  The reference input
@@ -254,8 +273,11 @@ class LearnableWeightedMessageOp(MessageOp):
         # full batch that intermediate is gigabytes of HBM traffic).
         if ct in ("ori_ref", "jk"):
             if ct == "ori_ref":
-                ref = hops[0]  # (B, D)
+                ref = hops[:, 0] if node_major else hops[0]  # (B, D)
+            elif node_major:
+                ref = hops.reshape(hops.shape[0], -1)  # free: already (B, K, D)
             else:
+                b = hops.shape[1]
                 ref = jnp.moveaxis(hops, 0, 1).reshape(b, -1)  # (B, (K+1)D)
             a_dim = ref.shape[-1]
             kernel = self.param(
@@ -263,6 +285,11 @@ class LearnableWeightedMessageOp(MessageOp):
             )
             bias = self.param("gate_bias", nn.initializers.zeros, (1,))
             ref_logit = ref @ kernel[:a_dim]  # (B, 1), hop-invariant
+            if node_major:
+                hop_logit = jnp.einsum("bkd,do->bko", h, kernel[a_dim:])
+                logits = jnp.squeeze(ref_logit[:, None] + hop_logit + bias, -1)
+                w = nn.softmax(nn.sigmoid(logits), axis=1)  # (B, K)
+                return jnp.einsum("bk,bkd->bd", w, h)
             hop_logit = jnp.einsum("kbd,do->kbo", h, kernel[a_dim:])
             logits = jnp.squeeze(ref_logit[None] + hop_logit + bias, axis=-1)
             w = nn.softmax(nn.sigmoid(logits), axis=0)  # (K, B)
@@ -282,23 +309,29 @@ class IterateLearnableWeightedMessageOp(MessageOp):
     combination_type: str = "recursive"
 
     aggr_type: str = "iterate_learnable_weighted"
+    supports_node_major: bool = True
 
     @nn.compact
-    def __call__(self, hops, train: bool = False):
+    def __call__(self, hops, train: bool = False, node_major: bool = False):
         if self.combination_type != "recursive":
             raise ValueError(
                 "Invalid weighted combination type! Type must be 'recursive'."
             )
-        h = self._slice(hops)  # (K, B, D)
-        k = h.shape[0]
+        h = hops[:, self.start : self.end] if node_major else self._slice(hops)
+        k = h.shape[1 if node_major else 0]
+        hop = (lambda i: h[:, i]) if node_major else (lambda i: h[i])
         gate = nn.Dense(1)
-        weighted = h[0]
+        weighted = hop(0)
         logits = None  # (B, i+1) raw sigmoid gates accumulated so far
         for i in range(k):
-            g = nn.sigmoid(gate(jnp.concatenate([h[i], weighted], axis=-1)))
+            g = nn.sigmoid(gate(jnp.concatenate([hop(i), weighted], axis=-1)))
             logits = g if logits is None else jnp.concatenate([logits, g], axis=1)
             w = nn.softmax(logits, axis=1)  # (B, i+1)
-            weighted = jnp.einsum("bk,kbd->bd", w, h[: i + 1])
+            weighted = (
+                jnp.einsum("bk,bkd->bd", w, h[:, : i + 1])
+                if node_major
+                else jnp.einsum("bk,kbd->bd", w, h[: i + 1])
+            )
         return weighted
 
 

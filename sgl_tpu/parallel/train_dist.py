@@ -29,16 +29,21 @@ def make_parallel_train_step(
     mesh: Mesh,
     loss_fn: Callable = weighted_cross_entropy,
     batch_axes=("data",),
+    node_major_feats: bool = False,
 ):
     """Jitted DP train step: feats/labels/w sharded on the batch dim over
     ``batch_axes``, state replicated.  Signature matches
-    :func:`sgl_tpu.tasks.utils.make_train_step`."""
+    :func:`sgl_tpu.tasks.utils.make_train_step`.  ``node_major_feats``
+    marks 3-D feats as (B, K, D) (batch axis 0) instead of (K, B, D)."""
     batch_spec = P(batch_axes)
     repl = NamedSharding(mesh, P())
 
     def shard_batch(feats, labels, w):
         # hop-stacked feats are (K, B, D): batch is axis 1; else axis 0
-        fspec = P(None, batch_axes) if feats.ndim == 3 else batch_spec
+        if feats.ndim == 3 and not node_major_feats:
+            fspec = P(None, batch_axes)
+        else:
+            fspec = batch_spec
         feats = jax.device_put(feats, NamedSharding(mesh, fspec))
         labels = jax.device_put(labels, NamedSharding(mesh, batch_spec))
         w = jax.device_put(w, NamedSharding(mesh, batch_spec))

@@ -83,7 +83,11 @@ class NodeClassificationDist(BaseTask):
             mesh, dadj, ds.x, model.pre_graph_op.prop_steps, axis="graph"
         )
         if model.pre_msg_learnable:
-            model.processed_feature = hops
+            # match SGAPModel.preprocess: node-major cache when the op
+            # supports the transpose-free attention layout
+            model.processed_feature = (
+                jnp.moveaxis(hops, 0, 1) if model.node_major else hops
+            )
         else:
             model.processed_feature = eager_aggregate(model.pre_msg_op, hops)
         if self._verbose:
@@ -104,6 +108,7 @@ class NodeClassificationDist(BaseTask):
             tx,
             mesh,
             loss_fn=self._loss_fn,
+            node_major_feats=model.node_major,
         )
 
         @jax.jit

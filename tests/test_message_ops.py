@@ -183,3 +183,27 @@ def test_fused_linear_aggregation_matches_eager():
     # non-linear ops opt out
     assert MaxMessageOp(start=0, end=4).linear_weights(4) is None
     assert OverSmoothDistanceWeightedOp().linear_weights(4) is None
+
+
+@pytest.mark.parametrize(
+    "op",
+    [
+        LearnableWeightedMessageOp(combination_type="simple", prop_steps=3),
+        LearnableWeightedMessageOp(combination_type="gate", feat_dim=5),
+        LearnableWeightedMessageOp(
+            combination_type="ori_ref", prop_steps=3, feat_dim=5
+        ),
+        LearnableWeightedMessageOp(combination_type="jk", prop_steps=3, feat_dim=5),
+        IterateLearnableWeightedMessageOp(),
+    ],
+)
+def test_node_major_layout_equivalence(op, hops):
+    """node_major=True on the (B, K, D) transpose must produce exactly the
+    hop-major result with the same params (the fast GAMLP training layout)."""
+    assert op.supports_node_major
+    rng = jax.random.PRNGKey(3)
+    params = op.init(rng, hops, train=False)
+    want = op.apply(params, hops, train=False)
+    hops_nm = jnp.moveaxis(hops, 0, 1)
+    got = op.apply(params, hops_nm, train=False, node_major=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-5, atol=1e-6)

@@ -57,6 +57,14 @@ def test_gamlp_lazy_aggregation():
     assert acc > 0.85, acc
 
 
+def test_gamlp_node_major_opt_in():
+    """The opt-in (N, K+1, D) cache layout trains to the same band."""
+    model = homo.GAMLP(3, DS.num_features, DS.num_classes, hidden_dim=32, num_layers=2)
+    model.node_major = True
+    acc = _run(model, epochs=40, lr=0.05)
+    assert acc > 0.85, acc
+
+
 def test_gamlp_recursive():
     model = homo.GAMLPRecursive(
         3, DS.num_features, DS.num_classes, hidden_dim=32, num_layers=2
