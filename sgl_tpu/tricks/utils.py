@@ -17,19 +17,22 @@ from sgl_tpu.kernels.sparse import SparseAdj, spmm
 
 
 def loge_cross_entropy_loss(logits, labels, epsilon: float = 1.0 - np.log(2)):
-    """Loge-CE (reference ``sgl/tricks/utils.py:7-10``):
-    ``log(ε + ce) - log(ε)`` per element, then mean."""
+    """Loge-CE (reference ``sgl/tricks/utils.py:7-10``): the log transform
+    ``log(ε + ·) - log(ε)`` is applied to the MEAN cross-entropy, exactly as
+    the reference does (``F.cross_entropy`` reduces first)."""
     import optax
 
-    ce = optax.softmax_cross_entropy_with_integer_labels(logits, labels)
-    return jnp.mean(jnp.log(epsilon + ce) - np.log(epsilon))
+    ce = optax.softmax_cross_entropy_with_integer_labels(logits, labels).mean()
+    return jnp.log(epsilon + ce) - np.log(epsilon)
 
 
-def loge_bce_loss(pred, target, epsilon: float = 1.0 - np.log(2)):
-    """Loge-BCE on probabilities (reference ``tricks/utils.py:12-14``)."""
-    pred = jnp.clip(pred, 1e-7, 1 - 1e-7)
-    bce = -(target * jnp.log(pred) + (1 - target) * jnp.log1p(-pred))
-    return jnp.mean(jnp.log(epsilon + bce) - np.log(epsilon))
+def loge_bce_loss(logits, target, epsilon: float = 1.0 - np.log(2)):
+    """Loge-BCE on LOGITS (reference ``tricks/utils.py:12-14`` calls
+    ``binary_cross_entropy_with_logits``), transform applied to the mean."""
+    bce = jnp.mean(
+        jnp.clip(logits, 0) - logits * target + jnp.log1p(jnp.exp(-jnp.abs(logits)))
+    )
+    return jnp.log(epsilon + bce) - np.log(epsilon)
 
 
 def _default_post(x):

@@ -180,3 +180,103 @@ def test_label_propagation_parity(g):
         torch.LongTensor(y), ref_adj, 4, 0.8
     ).numpy()
     np.testing.assert_allclose(ours, want, rtol=1e-4, atol=1e-5)
+
+
+def test_loge_losses_parity():
+    from sgl.tricks.utils import (
+        LogeCrossEntropy as RefLogeCE,
+        LogeBinaryCrossEntropyWithLogits as RefLogeBCE,
+    )
+
+    from sgl_tpu.tricks import loge_bce_loss, loge_cross_entropy_loss
+
+    rng = np.random.default_rng(7)
+    logits = rng.normal(size=(50, 6)).astype(np.float32)
+    labels = rng.integers(0, 6, 50)
+    want = RefLogeCE(torch.tensor(logits), torch.tensor(labels)).item()
+    got = float(loge_cross_entropy_loss(jnp.asarray(logits), jnp.asarray(labels)))
+    np.testing.assert_allclose(got, want, rtol=1e-5)
+
+    blogits = rng.normal(size=(40,)).astype(np.float32)
+    btarget = rng.integers(0, 2, 40).astype(np.float32)
+    want = RefLogeBCE(torch.tensor(blogits), torch.tensor(btarget)).item()
+    got = float(loge_bce_loss(jnp.asarray(blogits), jnp.asarray(btarget)))
+    np.testing.assert_allclose(got, want, rtol=1e-5)
+
+
+def _copy_torch_linears(ref_model, params_tree):
+    """Copy every torch Linear (in order) onto flax Dense_i kernels."""
+    linears = [m for m in ref_model.modules() if isinstance(m, torch.nn.Linear)]
+    new = dict(params_tree["params"])
+    for i, lin in enumerate(linears):
+        new[f"Dense_{i}"] = {
+            "kernel": jnp.asarray(lin.weight.detach().numpy().T),
+            "bias": jnp.asarray(lin.bias.detach().numpy()),
+        }
+    return {"params": new}
+
+
+def test_mlp_parity_with_copied_params():
+    from sgl.models.simple_models import MultiLayerPerceptron as RefMLP
+
+    from sgl_tpu.models.blocks import MultiLayerPerceptron
+
+    rng = np.random.default_rng(11)
+    x = rng.normal(size=(30, 12)).astype(np.float32)
+    ref = RefMLP(12, 16, 3, 5, dropout=0.5)
+    ref.eval()  # dropout off; our train=False is the same mode
+    want = ref(torch.tensor(x)).detach().numpy()
+
+    ours = MultiLayerPerceptron(hidden_dim=16, num_layers=3, output_dim=5)
+    params = ours.init(jax.random.PRNGKey(0), jnp.asarray(x), train=False)
+    params = _copy_torch_linears(ref, params)
+    # shared PReLU slope (torch default 0.25 == our init, but copy anyway)
+    prelu = [m for m in ref.modules() if isinstance(m, torch.nn.PReLU)][0]
+    params["params"]["PReLU_0"] = {
+        "negative_slope": jnp.asarray(prelu.weight.detach().numpy().reshape(()))
+    }
+    got = np.asarray(ours.apply(params, jnp.asarray(x), train=False))
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+
+def test_resmlp_parity_with_copied_params():
+    from sgl.models.simple_models import ResMultiLayerPerceptron as RefResMLP
+
+    from sgl_tpu.models.blocks import ResMultiLayerPerceptron
+
+    rng = np.random.default_rng(13)
+    x = rng.normal(size=(24, 10)).astype(np.float32)
+    ref = RefResMLP(10, 14, 4, 3, dropout=0.8)
+    ref.eval()
+    want = ref(torch.tensor(x)).detach().numpy()
+
+    ours = ResMultiLayerPerceptron(hidden_dim=14, num_layers=4, output_dim=3)
+    params = ours.init(jax.random.PRNGKey(0), jnp.asarray(x), train=False)
+    params = _copy_torch_linears(ref, params)
+    got = np.asarray(ours.apply(params, jnp.asarray(x), train=False))
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+
+def test_cluster_loss_parity():
+    # sgl.tasks.utils imports clustering_metrics -> munkres (absent here);
+    # a stub suffices since cluster_loss never touches it
+    import types
+
+    sys.modules.setdefault(
+        "munkres", types.SimpleNamespace(Munkres=object)  # type: ignore[arg-type]
+    )
+    from sgl.tasks.utils import cluster_loss as ref_cluster_loss
+
+    from sgl_tpu.tasks.node_clustering import cluster_loss
+
+    rng = np.random.default_rng(17)
+    out = rng.normal(size=(40, 8)).astype(np.float32)
+    centers = rng.normal(size=(5, 8)).astype(np.float32)
+    y_pred = rng.integers(0, 5, 40)
+    want = float(
+        ref_cluster_loss(torch.tensor(out), y_pred, torch.tensor(centers))
+    )
+    got = float(
+        cluster_loss(jnp.asarray(out), jnp.asarray(y_pred), jnp.asarray(centers))
+    )
+    np.testing.assert_allclose(got, want, rtol=1e-4)
