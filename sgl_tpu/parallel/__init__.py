@@ -1,7 +1,9 @@
 from sgl_tpu.parallel.mesh import make_mesh, data_sharding, replicated
 from sgl_tpu.parallel.spmm_dist import (
     DistAdj,
+    DistChunkedAdj,
     partition_adj,
+    partition_adj_chunked,
     pad_features,
     make_dist_spmm,
     k_hop_propagate_dist,

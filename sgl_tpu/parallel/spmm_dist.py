@@ -25,6 +25,7 @@ from __future__ import annotations
 
 import dataclasses
 import functools
+from typing import Optional
 
 import jax
 import jax.numpy as jnp
@@ -110,13 +111,181 @@ def partition_adj(adj: SparseAdj, num_partitions: int, bucket_multiple: int = 8)
     )
 
 
-def pad_features(x, num_partitions: int) -> jnp.ndarray:
+def pad_features(x, num_partitions: int, block: Optional[int] = None) -> jnp.ndarray:
     """Pad feature rows so the node axis divides evenly across devices."""
     n, _ = x.shape
-    block = _round_up(n, num_partitions) // num_partitions
+    if block is None:
+        block = _round_up(n, num_partitions) // num_partitions
     pad = block * num_partitions - n
     x = jnp.asarray(x, jnp.float32)
     return jnp.pad(x, ((0, pad), (0, 0))) if pad else x
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclasses.dataclass(frozen=True)
+class DistChunkedAdj:
+    """Ring buckets in the Pallas tile-chunk layout (+ diag/hub splits).
+
+    The per-device, per-ring-step local SpMM runs the same one-hot MXU
+    kernel as the single-chip path (``kernels.pallas_spmm``) instead of an
+    XLA ``segment_sum`` (5x slower per chip, measured) — multi-chip scaling
+    multiplies the fast kernel, not the slow one.  Two extras ride outside
+    the ring:
+
+    * ``diag``: self-loop weights, applied locally (``diag ⊙ x``);
+    * ``hub_ids``/``hub_m``: the k highest-out-degree sources bypass the
+      ring entirely — their k feature rows are psum-gathered once per hop
+      (k·D bytes, negligible next to the N·D ring volume) and applied as a
+      local dense ``hub_m_local @ x[hubs]`` matmul.  On power-law graphs
+      this removes 30-50% of ring-bucket edges.
+
+    Shapes: ``src/dst/w`` are (P, P, C·chunk) with local ids; ``chunk_tile``
+    is (P, P, C), non-decreasing per bucket; ``diag``/``hub_m`` rows are
+    padded to P·block and row-sharded.
+    """
+
+    src: jnp.ndarray
+    dst: jnp.ndarray
+    w: jnp.ndarray
+    chunk_tile: jnp.ndarray
+    diag: Optional[jnp.ndarray]
+    hub_ids: Optional[jnp.ndarray]
+    hub_m: Optional[jnp.ndarray]
+    num_nodes: int
+    block: int
+
+    def tree_flatten(self):
+        return (
+            self.src,
+            self.dst,
+            self.w,
+            self.chunk_tile,
+            self.diag,
+            self.hub_ids,
+            self.hub_m,
+        ), (self.num_nodes, self.block)
+
+    @classmethod
+    def tree_unflatten(cls, aux, leaves):
+        src, dst, w, chunk_tile, diag, hub_ids, hub_m = leaves
+        return cls(src, dst, w, chunk_tile, diag, hub_ids, hub_m, *aux)
+
+    @property
+    def num_partitions(self) -> int:
+        return int(self.src.shape[0])
+
+
+def partition_adj_chunked(
+    adj: SparseAdj,
+    num_partitions: int,
+    *,
+    split_diag: bool = True,
+    hub_k="auto",
+    max_hub_bytes: int = 512 << 20,
+    chunk: Optional[int] = None,
+) -> DistChunkedAdj:
+    """Host-side partition into per-(owner, source-block) Pallas chunk
+    layouts.  ``block`` is rounded up to the kernel's 128-row tile."""
+    from sgl_tpu.kernels.pallas_spmm import (
+        CHUNK,
+        TILE_R,
+        _select_hubs,
+    )
+
+    chunk = chunk or CHUNK
+    p = num_partitions
+    n = adj.num_nodes
+    block = _round_up(-(-n // p), TILE_R)
+    n_pad = block * p
+    src = np.asarray(adj.src)
+    dst = np.asarray(adj.dst)
+    w = np.asarray(adj.w)
+    keep = w != 0
+    src, dst, w = src[keep], dst[keep], w[keep]
+
+    selfm = src == dst
+    hubs = _select_hubs(src[~selfm], n, hub_k, max_hub_bytes)
+    diag = None
+    if split_diag and hubs is not None and bool(np.any(selfm)):
+        diag = np.zeros(n_pad, np.float32)
+        np.add.at(diag, dst[selfm], w[selfm])
+        src, dst, w = src[~selfm], dst[~selfm], w[~selfm]
+    hub_ids = hub_m = None
+    if hubs is not None:
+        col = np.full(n, -1, np.int64)
+        col[hubs] = np.arange(hubs.shape[0])
+        hubm = col[src] >= 0
+        hub_m = np.zeros((n_pad, hubs.shape[0]), np.float32)
+        np.add.at(hub_m, (dst[hubm], col[src[hubm]]), w[hubm])
+        src, dst, w = src[~hubm], dst[~hubm], w[~hubm]
+        hub_ids = hubs
+
+    owner = dst // block
+    sblk = src // block
+    tiles = block // TILE_R
+    l_dst = (dst - owner * block).astype(np.int64)
+    tile_of = l_dst // TILE_R
+    # per (owner, sblk, tile) counts -> per-bucket padded chunk counts
+    flat = (owner * p + sblk) * tiles + tile_of
+    counts = np.bincount(flat, minlength=p * p * tiles).reshape(p * p, tiles)
+    padded = np.maximum(_round_up_arr_np(counts, chunk), chunk)
+    c_max = int(padded.sum(axis=1).max()) // chunk
+    e_b = c_max * chunk
+
+    out_src = np.zeros((p * p, e_b), np.int32)
+    out_dst = np.empty((p * p, e_b), np.int32)
+    out_w = np.zeros((p * p, e_b), np.float32)
+    out_ct = np.empty((p * p, c_max), np.int32)
+    # bucket-local offsets of each tile's padded run
+    offs = np.concatenate(
+        [np.zeros((p * p, 1), np.int64), np.cumsum(padded, axis=1)], axis=1
+    )
+    # default dst/chunk_tile: pad trailing chunks with the LAST tile so the
+    # kernel's revisit logic never re-zeroes an earlier tile
+    for bkt in range(p * p):
+        ct = np.repeat(np.arange(tiles, dtype=np.int32), padded[bkt] // chunk)
+        pad_chunks = c_max - ct.shape[0]
+        out_ct[bkt] = np.concatenate(
+            [ct, np.full(pad_chunks, tiles - 1, np.int32)]
+        )
+        tile_idx = np.repeat(np.arange(tiles, dtype=np.int32), padded[bkt])
+        out_dst[bkt, : tile_idx.shape[0]] = tile_idx * TILE_R
+        out_dst[bkt, tile_idx.shape[0] :] = (tiles - 1) * TILE_R
+
+    order = np.lexsort((l_dst, sblk, owner))
+    src_s, w_s, owner_s, sblk_s, l_dst_s = (
+        src[order],
+        w[order],
+        owner[order],
+        sblk[order],
+        l_dst[order],
+    )
+    tile_s = l_dst_s // TILE_R
+    bkt_s = owner_s * p + sblk_s
+    # position of each edge within its (bucket, tile) run
+    run_id = bkt_s * tiles + tile_s
+    run_starts = np.concatenate([[0], np.cumsum(counts.reshape(-1))])
+    pos_in_run = np.arange(src_s.shape[0]) - run_starts[run_id]
+    pos = offs[bkt_s, tile_s] + pos_in_run
+    out_src[bkt_s, pos] = (src_s - sblk_s * block).astype(np.int32)
+    out_dst[bkt_s, pos] = l_dst_s.astype(np.int32)
+    out_w[bkt_s, pos] = w_s
+
+    return DistChunkedAdj(
+        jnp.asarray(out_src.reshape(p, p, e_b)),
+        jnp.asarray(out_dst.reshape(p, p, e_b)),
+        jnp.asarray(out_w.reshape(p, p, e_b)),
+        jnp.asarray(out_ct.reshape(p, p, c_max)),
+        diag=None if diag is None else jnp.asarray(diag),
+        hub_ids=None if hub_ids is None else jnp.asarray(hub_ids),
+        hub_m=None if hub_m is None else jnp.asarray(hub_m),
+        num_nodes=n,
+        block=block,
+    )
+
+
+def _round_up_arr_np(x: np.ndarray, m: int) -> np.ndarray:
+    return ((x + m - 1) // m) * m
 
 
 def _ring_spmm_local(src_b, dst_b, w_b, x_local, *, axis: str, parts: int, block: int):
@@ -148,12 +317,133 @@ def _ring_spmm_local(src_b, dst_b, w_b, x_local, *, axis: str, parts: int, block
     return y
 
 
-def make_dist_spmm(mesh: Mesh, axis: str = "graph"):
+def _ring_spmm_local_chunked(
+    src_b,
+    dst_b,
+    w_b,
+    ct_b,
+    diag_l,
+    hub_ids,
+    hub_m_l,
+    x_local,
+    *,
+    axis: str,
+    parts: int,
+    block: int,
+    interpret: bool,
+    has_diag: bool,
+    has_hub: bool,
+):
+    """Per-device ring body running the Pallas one-hot MXU kernel per
+    bucket (see :class:`DistChunkedAdj`)."""
+    from sgl_tpu.kernels.pallas_spmm import _round_up, _segment_reduce_mxu
+
+    src_b, dst_b, w_b, ct_b = src_b[0], dst_b[0], w_b[0], ct_b[0]
+    p = jax.lax.axis_index(axis)
+    perm = [(i, (i + 1) % parts) for i in range(parts)]
+    d = x_local.shape[1]
+    d_pad = _round_up(d, 128)
+
+    def reduce_bucket(buf, src, dst, w, ct):
+        msgs = jnp.take(buf, src, axis=0).astype(jnp.float32) * w[:, None]
+        if d_pad != d:
+            msgs = jnp.pad(msgs, ((0, 0), (0, d_pad - d)))
+        hi = msgs.astype(jnp.bfloat16)
+        lo = (msgs - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+        out = _segment_reduce_mxu(
+            hi, lo, dst, ct, num_nodes=block, interpret=interpret
+        )
+        return out[:, :d]
+
+    def step(carry, s):
+        buf, y = carry
+        b = jnp.mod(p - s, parts)  # source block currently held
+        nxt = jax.lax.ppermute(buf, axis, perm)  # send early: overlaps SpMM
+        y = y + reduce_bucket(
+            buf,
+            jnp.take(src_b, b, axis=0),
+            jnp.take(dst_b, b, axis=0),
+            jnp.take(w_b, b, axis=0),
+            jnp.take(ct_b, b, axis=0),
+        )
+        return (nxt, y), None
+
+    y0 = jnp.zeros_like(x_local)
+    (_, y), _ = jax.lax.scan(
+        step, (x_local, y0), jnp.arange(parts, dtype=jnp.int32)
+    )
+    if has_diag:
+        y = y + diag_l[:, None] * x_local
+    if has_hub:
+        # hub rows bypass the ring: one psum of (k, D) per hop
+        mine = (hub_ids // block) == p
+        local_pos = jnp.clip(hub_ids - p * block, 0, block - 1)
+        xh = jnp.where(
+            mine[:, None], jnp.take(x_local, local_pos, axis=0), 0.0
+        )
+        xh = jax.lax.psum(xh, axis)
+        y = y + jax.lax.dot(
+            hub_m_l, xh, precision=jax.lax.Precision.HIGHEST
+        )
+    return y
+
+
+def make_dist_spmm(mesh: Mesh, axis: str = "graph", interpret: bool = False):
     """Build ``spmm(dist_adj, x_padded) -> y_padded`` running under
-    ``shard_map`` with ``x`` row-sharded over ``axis``."""
+    ``shard_map`` with ``x`` row-sharded over ``axis``.  Accepts either a
+    :class:`DistAdj` (XLA segment backend) or a :class:`DistChunkedAdj`
+    (per-device Pallas MXU kernel; ``interpret=True`` for CPU tests)."""
     parts = mesh.shape[axis]
 
-    def spmm_dist(dadj: DistAdj, x_pad: jnp.ndarray) -> jnp.ndarray:
+    def spmm_dist(dadj, x_pad: jnp.ndarray) -> jnp.ndarray:
+        if isinstance(dadj, DistChunkedAdj):
+            p = dadj.num_partitions
+            has_diag = dadj.diag is not None
+            has_hub = dadj.hub_ids is not None
+            body = functools.partial(
+                _ring_spmm_local_chunked,
+                axis=axis,
+                parts=parts,
+                block=dadj.block,
+                interpret=interpret,
+                has_diag=has_diag,
+                has_hub=has_hub,
+            )
+            # absent extras become tiny dummies (shard_map wants arrays)
+            diag = dadj.diag if has_diag else jnp.zeros(p * dadj.block, jnp.float32)
+            hub_ids = dadj.hub_ids if has_hub else jnp.zeros(1, jnp.int32)
+            hub_m = (
+                dadj.hub_m
+                if has_hub
+                else jnp.zeros((p * dadj.block, 1), jnp.float32)
+            )
+            return jax.shard_map(
+                body,
+                mesh=mesh,
+                in_specs=(
+                    P(axis),
+                    P(axis),
+                    P(axis),
+                    P(axis),
+                    P(axis),
+                    P(),
+                    P(axis),
+                    P(axis),
+                ),
+                out_specs=P(axis),
+                # pallas_call's out_shape carries no vma annotation; the
+                # body is manifestly per-device so skip the vma check
+                check_vma=False,
+            )(
+                dadj.src,
+                dadj.dst,
+                dadj.w,
+                dadj.chunk_tile,
+                diag,
+                hub_ids,
+                hub_m,
+                x_pad,
+            )
         body = functools.partial(
             _ring_spmm_local, axis=axis, parts=parts, block=dadj.block
         )
@@ -171,16 +461,19 @@ def make_dist_spmm(mesh: Mesh, axis: str = "graph"):
 
 def k_hop_propagate_dist(
     mesh: Mesh,
-    dadj: DistAdj,
+    dadj,
     x,
     prop_steps: int,
     axis: str = "graph",
+    interpret: bool = False,
 ) -> jnp.ndarray:
     """Distributed ``[X, AX, ..., A^K X]``: returns ``(K+1, N, D)`` with the
-    node axis sharded over ``axis`` (un-padded rows sliced off)."""
+    node axis sharded over ``axis`` (un-padded rows sliced off).  ``dadj``
+    may be a :class:`DistAdj` (XLA segment compute) or a
+    :class:`DistChunkedAdj` (Pallas MXU compute; the TPU hot path)."""
     parts = mesh.shape[axis]
-    x_pad = pad_features(x, parts)
-    spmm_dist = make_dist_spmm(mesh, axis)
+    x_pad = pad_features(x, parts, block=dadj.block)
+    spmm_dist = make_dist_spmm(mesh, axis, interpret=interpret)
 
     @functools.partial(jax.jit, static_argnames=())
     def run(dadj, x_pad):

@@ -34,6 +34,39 @@ def test_ring_spmm_matches_single_device():
     np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
 
 
+@pytest.mark.parametrize("hub_k", [0, 16])
+def test_ring_spmm_chunked_matches_single_device(hub_k):
+    """The Pallas-layout ring path (per-device MXU kernel + diag/hub splits)
+    must equal the single-device hop stack."""
+    from sgl_tpu.parallel import partition_adj_chunked
+
+    g = random_graph(n=300, avg_deg=11, d=12, seed=23)
+    adj = symmetric_normalized_weights(g)
+    mesh = make_mesh((1, 8))
+    dadj = partition_adj_chunked(adj, 8, hub_k=hub_k, chunk=64)
+    if hub_k:
+        assert dadj.hub_ids is not None and dadj.diag is not None
+    got = np.asarray(
+        k_hop_propagate_dist(mesh, dadj, g.x, prop_steps=3, interpret=True)
+    )
+    want = np.asarray(k_hop_propagate(adj, jnp.asarray(g.x), 3))
+    np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-5)
+
+
+def test_ring_spmm_chunked_uneven_nodes():
+    from sgl_tpu.parallel import partition_adj_chunked
+
+    g = random_graph(n=271, avg_deg=7, d=5, seed=29)
+    adj = symmetric_normalized_weights(g)
+    mesh = make_mesh((1, 8))
+    dadj = partition_adj_chunked(adj, 8, hub_k=8, chunk=32)
+    got = np.asarray(
+        k_hop_propagate_dist(mesh, dadj, g.x, prop_steps=2, interpret=True)
+    )
+    want = np.asarray(k_hop_propagate(adj, jnp.asarray(g.x), 2))
+    np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-5)
+
+
 def test_ring_spmm_uneven_nodes():
     """Node count not divisible by P exercises row padding."""
     g = random_graph(n=101, avg_deg=6, d=5, seed=3)
