@@ -173,6 +173,47 @@ def _select_hubs(src: np.ndarray, n: int, hub_k, max_hub_bytes: int):
     return np.argpartition(-counts, k - 1)[:k].astype(np.int32)
 
 
+def split_extras(
+    src: np.ndarray,
+    dst: np.ndarray,
+    w: np.ndarray,
+    n: int,
+    *,
+    split_diag: bool = True,
+    hub_k="auto",
+    max_hub_bytes: int = 512 << 20,
+):
+    """Host-side split of self-loops and hub-source edges out of an edge
+    list.  Returns ``(src, dst, w, diag, hub_ids, hub_m)`` with the split
+    edges removed (``diag``/``hub_*`` are None when not taken).
+
+    Measured v5e quirk: adding ``diag ⊙ x`` to the Pallas output WITHOUT
+    the hub matmul in the same sum de-fuses the XLA gather pipeline and
+    costs far more than the removed rows save (26.5 → 42.9 ms/hop on the
+    5.2M edge bench); with the hub matmul present the same add is free.
+    So the diag split is only taken together with the hub split.
+    """
+    selfm = src == dst
+    hubs = _select_hubs(src[~selfm], n, hub_k, max_hub_bytes)
+
+    diag = None
+    if split_diag and hubs is not None and bool(np.any(selfm)):
+        diag = np.zeros(n, np.float32)
+        np.add.at(diag, dst[selfm], w[selfm])
+        src, dst, w = src[~selfm], dst[~selfm], w[~selfm]
+
+    hub_ids = hub_m = None
+    if hubs is not None:
+        col = np.full(n, -1, np.int64)
+        col[hubs] = np.arange(hubs.shape[0])
+        hubm = col[src] >= 0
+        hub_m = np.zeros((n, hubs.shape[0]), np.float32)
+        np.add.at(hub_m, (dst[hubm], col[src[hubm]]), w[hubm])
+        src, dst, w = src[~hubm], dst[~hubm], w[~hubm]
+        hub_ids = hubs
+    return src, dst, w, diag, hub_ids, hub_m
+
+
 def prepare_chunked(
     adj: SparseAdj,
     *,
@@ -198,29 +239,10 @@ def prepare_chunked(
     src, dst, w = src[keep], dst[keep], w[keep]
     n = adj.num_nodes
 
-    selfm = src == dst
-    hubs = _select_hubs(src[~selfm], n, hub_k, max_hub_bytes)
-
-    # Measured v5e quirk: adding `diag ⊙ x` to the Pallas output WITHOUT the
-    # hub matmul in the same sum de-fuses the XLA gather pipeline and costs
-    # far more than the removed rows save (26.5 → 42.9 ms/hop on the 5.2M
-    # edge bench); with the hub matmul present the same add is free.  So the
-    # diag split is only taken together with the hub split.
-    diag = None
-    if split_diag and hubs is not None and bool(np.any(selfm)):
-        diag = np.zeros(n, np.float32)
-        np.add.at(diag, dst[selfm], w[selfm])
-        src, dst, w = src[~selfm], dst[~selfm], w[~selfm]
-
-    hub_ids = hub_m = None
-    if hubs is not None:
-        col = np.full(n, -1, np.int64)
-        col[hubs] = np.arange(hubs.shape[0])
-        hubm = col[src] >= 0
-        hub_m = np.zeros((n, hubs.shape[0]), np.float32)
-        np.add.at(hub_m, (dst[hubm], col[src[hubm]]), w[hubm])
-        src, dst, w = src[~hubm], dst[~hubm], w[~hubm]
-        hub_ids = hubs
+    src, dst, w, diag, hub_ids, hub_m = split_extras(
+        src, dst, w, n, split_diag=split_diag, hub_k=hub_k,
+        max_hub_bytes=max_hub_bytes,
+    )
 
     chunk = chunk or CHUNK
     n_tiles = _round_up(n, TILE_R) // TILE_R
@@ -349,9 +371,11 @@ def _spmm_pallas_impl(adj: ChunkedAdj, x: jnp.ndarray, interpret: bool = False) 
         )
     d = x.shape[1]
     d_pad = _round_up(d, 128)
-    msgs = jnp.take(x, adj.src, axis=0).astype(jnp.float32) * adj.w[:, None]
-    if d_pad != d:
-        msgs = jnp.pad(msgs, ((0, 0), (0, d_pad - d)))
+    xp = x if d_pad == d else jnp.pad(x, ((0, 0), (0, d_pad - d)))
+    # pad x's columns BEFORE the gather: padding the (E, d) gather output
+    # instead would materialize the full f32 message buffer (10 GB at
+    # products scale) because the pad breaks the gather->bf16 write fusion
+    msgs = jnp.take(xp, adj.src, axis=0).astype(jnp.float32) * adj.w[:, None]
     # hi/lo bf16 halves as separate arrays: each output's write fuses with
     # the gather (a concat would force an extra materialize+copy pass)
     hi = msgs.astype(jnp.bfloat16)
@@ -386,29 +410,40 @@ class ChunkedPart:
         return cls(*leaves, *aux)
 
 
-def prepare_chunked_parts(adj: SparseAdj, max_edges_per_part: int = 16 << 20):
+def prepare_chunked_parts(
+    adj: SparseAdj,
+    max_edges_per_part: int = 16 << 20,
+    *,
+    split_diag: bool = True,
+    hub_k="auto",
+    max_hub_bytes: int = 512 << 20,
+):
     """Split a graph into tile-aligned parts so each part's message buffers
     fit in HBM — the single-chip path to billion-edge graphs (ogbn-products /
     papers100M scale), where an (E, D) message buffer cannot materialize.
 
     Parts share one kernel compilation: chunk and tile counts are padded to
-    the per-part maxima.  diag/hub splitting is disabled: the dense hub
-    strip of a huge graph would not fit HBM, and the part loop re-slices
-    raw edge arrays.
+    the per-part maxima.  The diag/hub splits apply globally (outside the
+    part loop); ``max_hub_bytes`` caps the dense hub strip, which shrinks
+    the hub count automatically as N grows (at papers100M scale the strip
+    is disabled entirely).
     """
-    full = prepare_chunked(adj, split_diag=False, hub_k=0)
+    full = prepare_chunked(
+        adj, split_diag=split_diag, hub_k=hub_k, max_hub_bytes=max_hub_bytes
+    )
     chunk_tile = np.asarray(full.chunk_tile)
     n_chunks = chunk_tile.shape[0]
     chunk = full.src.shape[0] // n_chunks
     max_chunks = max(max_edges_per_part // chunk, 1)
-    # split points at tile boundaries, greedy by chunk count
-    splits = [0]
-    last = 0
-    for c in range(1, n_chunks):
-        if chunk_tile[c] != chunk_tile[c - 1] and c - last >= max_chunks:
-            splits.append(c)
-            last = c
+    # split every max_chunks chunks, even mid-tile: a single output tile can
+    # hold tens of millions of in-edges (power-law dst hubs), so tile-
+    # boundary-only splits cannot bound part size.  Parts that share a tile
+    # produce partial sums; spmm_pallas_streaming overlap-ADDS part outputs
+    # instead of concatenating.
+    splits = list(range(0, n_chunks, max_chunks))
     splits.append(n_chunks)
+    if splits[-1] == splits[-2]:
+        splits.pop()
     part_chunks = max(np.diff(splits))
     parts = []
     src = np.asarray(full.src)
@@ -441,16 +476,26 @@ def prepare_chunked_parts(adj: SparseAdj, max_edges_per_part: int = 16 << 20):
             )
         )
     max_tiles = max(p.n_tiles for p in parts)
-    return parts, full.num_nodes, max_tiles
+    extras = ChunkedAdj(
+        # structure-free carrier for the global diag/hub contributions
+        jnp.zeros(0, jnp.int32),
+        jnp.zeros(0, jnp.int32),
+        jnp.zeros(0, jnp.float32),
+        jnp.zeros(0, jnp.int32),
+        num_nodes=full.num_nodes,
+        diag=full.diag,
+        hub_ids=full.hub_ids,
+        hub_m=full.hub_m,
+    )
+    return parts, full.num_nodes, max_tiles, extras
 
 
 @functools.partial(jax.jit, static_argnames=("n_rows", "interpret"))
 def _part_rows(part: ChunkedPart, x, n_rows: int, interpret: bool = False):
     d = x.shape[1]
     d_pad = _round_up(d, 128)
-    msgs = jnp.take(x, part.src, axis=0).astype(jnp.float32) * part.w[:, None]
-    if d_pad != d:
-        msgs = jnp.pad(msgs, ((0, 0), (0, d_pad - d)))
+    xp = x if d_pad == d else jnp.pad(x, ((0, 0), (0, d_pad - d)))
+    msgs = jnp.take(xp, part.src, axis=0).astype(jnp.float32) * part.w[:, None]
     hi = msgs.astype(jnp.bfloat16)
     lo = (msgs - hi.astype(jnp.float32)).astype(jnp.bfloat16)
     out = _segment_reduce_mxu(
@@ -461,14 +506,18 @@ def _part_rows(part: ChunkedPart, x, n_rows: int, interpret: bool = False):
 
 def spmm_pallas_streaming(parts_bundle, x: jnp.ndarray, interpret: bool = False) -> jnp.ndarray:
     """``y = adj @ x`` part by part; peak device memory is one part's
-    message buffers instead of the whole graph's."""
-    parts, num_nodes, max_tiles = parts_bundle
+    message buffers instead of the whole graph's.  Consecutive parts may
+    share a boundary tile (mid-tile splits), so partial sums overlap-ADD."""
+    parts, num_nodes, max_tiles, extras = parts_bundle
     n_rows = max_tiles * TILE_R
-    outs = []
+    n_total = _round_up(num_nodes, TILE_R)
+    y = jnp.zeros((n_total, x.shape[1]), x.dtype)
     for p in parts:
         rows = _part_rows(p, x, n_rows=n_rows, interpret=interpret)
-        outs.append(rows[: p.n_tiles * TILE_R])
-    return jnp.concatenate(outs, axis=0)[:num_nodes]
+        lo = p.tile_offset * TILE_R  # python int: static update slice
+        y = y.at[lo : lo + p.n_tiles * TILE_R].add(rows[: p.n_tiles * TILE_R])
+    y = y[:num_nodes]
+    return extras.apply_extras(x, y).astype(x.dtype)
 
 
 def _spmm_pallas_fwd(adj, x, interpret):

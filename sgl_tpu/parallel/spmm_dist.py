@@ -186,11 +186,7 @@ def partition_adj_chunked(
 ) -> DistChunkedAdj:
     """Host-side partition into per-(owner, source-block) Pallas chunk
     layouts.  ``block`` is rounded up to the kernel's 128-row tile."""
-    from sgl_tpu.kernels.pallas_spmm import (
-        CHUNK,
-        TILE_R,
-        _select_hubs,
-    )
+    from sgl_tpu.kernels.pallas_spmm import CHUNK, TILE_R, split_extras
 
     chunk = chunk or CHUNK
     p = num_partitions
@@ -203,22 +199,14 @@ def partition_adj_chunked(
     keep = w != 0
     src, dst, w = src[keep], dst[keep], w[keep]
 
-    selfm = src == dst
-    hubs = _select_hubs(src[~selfm], n, hub_k, max_hub_bytes)
-    diag = None
-    if split_diag and hubs is not None and bool(np.any(selfm)):
-        diag = np.zeros(n_pad, np.float32)
-        np.add.at(diag, dst[selfm], w[selfm])
-        src, dst, w = src[~selfm], dst[~selfm], w[~selfm]
-    hub_ids = hub_m = None
-    if hubs is not None:
-        col = np.full(n, -1, np.int64)
-        col[hubs] = np.arange(hubs.shape[0])
-        hubm = col[src] >= 0
-        hub_m = np.zeros((n_pad, hubs.shape[0]), np.float32)
-        np.add.at(hub_m, (dst[hubm], col[src[hubm]]), w[hubm])
-        src, dst, w = src[~hubm], dst[~hubm], w[~hubm]
-        hub_ids = hubs
+    src, dst, w, diag, hub_ids, hub_m = split_extras(
+        src, dst, w, n, split_diag=split_diag, hub_k=hub_k,
+        max_hub_bytes=max_hub_bytes,
+    )
+    if diag is not None:
+        diag = np.pad(diag, (0, n_pad - n))
+    if hub_m is not None:
+        hub_m = np.pad(hub_m, ((0, n_pad - n), (0, 0)))
 
     owner = dst // block
     sblk = src // block
