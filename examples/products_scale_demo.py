@@ -22,7 +22,7 @@ import numpy as np
 
 def main(n=2_400_000, avg_deg=25, d=100, hops=3, part_edges=4 << 20):
     from sgl_tpu.datasets.synthetic import random_power_law_graph
-    from sgl_tpu.graph import symmetric_normalized_weights
+    from sgl_tpu.graph import symmetric_normalized_weights_host
     from sgl_tpu.kernels import prepare_chunked_parts, spmm_pallas_streaming
 
     t0 = time.time()
@@ -31,7 +31,8 @@ def main(n=2_400_000, avg_deg=25, d=100, hops=3, part_edges=4 << 20):
           f"({time.time() - t0:.1f}s to generate)")
 
     t0 = time.time()
-    adj = symmetric_normalized_weights(g)
+    # host-side normalization (native OpenMP builder): no device round-trip
+    adj = symmetric_normalized_weights_host(g)
     bundle = prepare_chunked_parts(adj, max_edges_per_part=part_edges)
     parts = bundle[0]
     print(f"normalized + partitioned into {len(parts)} parts "

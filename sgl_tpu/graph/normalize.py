@@ -81,6 +81,57 @@ def ppr_weights(
     return _sorted_adj(src, dst, w, n, sort)
 
 
+def _host_norm_edges(graph: Graph, r: float):
+    """Â = A + I edges with generalized symmetric weights, all on the host
+    (native OpenMP builder with numpy fallback) — no device round-trip."""
+    import numpy as np
+
+    from sgl_tpu.graph import native
+
+    n = graph.num_nodes
+    loop = np.arange(n, dtype=np.int32)
+    s = np.concatenate([np.asarray(graph.src, np.int32), loop])
+    d = np.concatenate([np.asarray(graph.dst, np.int32), loop])
+    v = np.concatenate(
+        [np.asarray(graph.val, np.float32), np.ones(n, np.float32)]
+    )
+    deg = native.compute_degrees(s, v, n)
+    w = native.normalized_weights(s, d, v, deg, r)
+    return s, d, w
+
+
+def symmetric_normalized_weights_host(graph: Graph, r: float = 0.5) -> SparseAdj:
+    """Host-side twin of :func:`symmetric_normalized_weights` for huge
+    graphs: the jitted version round-trips the full edge list through
+    device memory (minutes over a tunneled link at 60M edges), this one
+    stays in host numpy + the native parallel sort and returns a
+    dst-sorted ``SparseAdj`` of host arrays ready for ``prepare_chunked``."""
+    from sgl_tpu.graph import native
+
+    s, d, w = _host_norm_edges(graph, r)
+    s, d, w = native.sort_edges_by_dst(s, d, w, graph.num_nodes)
+    return SparseAdj(s, d, w, graph.num_nodes, sorted_by_dst=True)
+
+
+def ppr_weights_host(
+    graph: Graph, r: float = 0.5, alpha: float = 0.15
+) -> SparseAdj:
+    """Host-side twin of :func:`ppr_weights` (same trailing-self-loop
+    α-boost semantics)."""
+    from sgl_tpu.graph import native
+
+    n = graph.num_nodes
+    s, d, w = _host_norm_edges(graph, r)
+    w = w * (1.0 - alpha)
+    w[-n:] += alpha
+    s, d, w = native.sort_edges_by_dst(s, d, w, n)
+    return SparseAdj(s, d, w, n, sorted_by_dst=True)
+
+
+# above this many edges GraphOp normalizes on the host (no device round-trip)
+HOST_NORM_EDGE_THRESHOLD = 8 << 20
+
+
 def row_normalized_weights(
     graph: Graph, add_self_loops: bool = True, sort: bool = True
 ) -> SparseAdj:

@@ -18,7 +18,13 @@ import jax
 import jax.numpy as jnp
 
 from sgl_tpu.graph.graph import Graph
-from sgl_tpu.graph.normalize import ppr_weights, symmetric_normalized_weights
+from sgl_tpu.graph.normalize import (
+    HOST_NORM_EDGE_THRESHOLD,
+    ppr_weights,
+    ppr_weights_host,
+    symmetric_normalized_weights,
+    symmetric_normalized_weights_host,
+)
 from sgl_tpu.kernels.sparse import SparseAdj, spmm
 
 
@@ -132,13 +138,20 @@ class GraphOp:
 
 class LaplacianGraphOp(GraphOp):
     """Generalized symmetric normalization ``D^{r-1} Â D^{-r}``
-    (reference ``graph_op/laplacian_graph_op.py:7-19``; r=0.5 = GCN)."""
+    (reference ``graph_op/laplacian_graph_op.py:7-19``; r=0.5 = GCN).
+
+    Huge graphs (> ``HOST_NORM_EDGE_THRESHOLD`` edges) normalize on the
+    host via the native builder — the jitted path would round-trip the
+    whole edge list through device memory only to pull it back for the
+    chunk re-layout."""
 
     def __init__(self, prop_steps: int, r: float = 0.5):
         super().__init__(prop_steps)
         self.r = r
 
     def construct_adj(self, graph: Graph) -> SparseAdj:
+        if graph.num_edges > HOST_NORM_EDGE_THRESHOLD:
+            return symmetric_normalized_weights_host(graph, r=self.r)
         return symmetric_normalized_weights(graph, r=self.r)
 
 
@@ -152,4 +165,6 @@ class PprGraphOp(GraphOp):
         self.alpha = alpha
 
     def construct_adj(self, graph: Graph) -> SparseAdj:
+        if graph.num_edges > HOST_NORM_EDGE_THRESHOLD:
+            return ppr_weights_host(graph, r=self.r, alpha=self.alpha)
         return ppr_weights(graph, r=self.r, alpha=self.alpha)

@@ -62,6 +62,31 @@ def test_row_norm():
     np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
 
 
+def test_host_normalization_matches_jit():
+    """The native/numpy host normalization (huge-graph path) must produce
+    exactly the jitted edge weights, for both laplacian and PPR."""
+    from sgl_tpu.graph import (
+        ppr_weights,
+        ppr_weights_host,
+        symmetric_normalized_weights,
+        symmetric_normalized_weights_host,
+    )
+
+    g = random_graph(n=250, avg_deg=9, seed=41)
+    x = jnp.asarray(g.x)
+    for jit_fn, host_fn in [
+        (lambda: symmetric_normalized_weights(g, r=0.4),
+         lambda: symmetric_normalized_weights_host(g, r=0.4)),
+        (lambda: ppr_weights(g, r=0.5, alpha=0.25),
+         lambda: ppr_weights_host(g, r=0.5, alpha=0.25)),
+    ]:
+        want = np.asarray(spmm(jit_fn(), x))
+        host = host_fn()
+        assert host.sorted_by_dst
+        got = np.asarray(spmm(host, x))
+        np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
+
+
 def test_spmm_grad_flows():
     g = random_graph(n=60, seed=1)
     adj = symmetric_normalized_weights(g)

@@ -122,3 +122,55 @@ def test_sddmm_matches_dense(g):
     d = np.asarray(adj.dst)
     want = (np.asarray(a)[s] * np.asarray(b)[d]).sum(1)
     np.testing.assert_allclose(scores, want, rtol=1e-5, atol=1e-6)
+
+
+def test_reorder_nodes_preserves_propagation():
+    """Propagating the reordered graph then un-permuting must equal the
+    original propagation (exact relabeling invariance)."""
+    import jax.numpy as jnp
+
+    from sgl_tpu.graph import (
+        degree_ordering,
+        rcm_ordering,
+        reorder_nodes,
+        symmetric_normalized_weights,
+    )
+    from sgl_tpu.kernels import spmm
+
+    g = random_graph(n=120, avg_deg=8, d=6, seed=51)
+    base = np.asarray(spmm(symmetric_normalized_weights(g), jnp.asarray(g.x)))
+    for perm in [rcm_ordering(g), degree_ordering(g),
+                 np.random.default_rng(0).permutation(120)]:
+        g2 = reorder_nodes(g, perm)
+        out = np.asarray(
+            spmm(symmetric_normalized_weights(g2), jnp.asarray(g2.x))
+        )
+        np.testing.assert_allclose(out[perm], base, rtol=1e-4, atol=1e-5)
+
+
+def test_reorder_nodes_rejects_bad_perm():
+    from sgl_tpu.graph import reorder_nodes
+
+    g = random_graph(n=30, seed=5)
+    with pytest.raises(ValueError):
+        reorder_nodes(g, np.zeros(30, np.int64))
+
+
+def test_rcm_reduces_bandwidth_on_path_graph():
+    """A shuffled path graph must come back to ~unit bandwidth under RCM."""
+    from sgl_tpu.graph import Graph, rcm_ordering, reorder_nodes
+
+    n = 200
+    rng = np.random.default_rng(3)
+    shuffle = rng.permutation(n)
+    src = shuffle[np.arange(n - 1)]
+    dst = shuffle[np.arange(1, n)]
+    g = Graph.from_coo(
+        np.concatenate([src, dst]).astype(np.int32),
+        np.concatenate([dst, src]).astype(np.int32),
+        num_nodes=n,
+        pad_multiple=64,
+    )
+    g2 = reorder_nodes(g, rcm_ordering(g))
+    s, d, _ = g2.edges()
+    assert int(np.abs(s - d).max()) <= 2
