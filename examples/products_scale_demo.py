@@ -34,8 +34,7 @@ def main(n=2_400_000, avg_deg=25, d=100, hops=3, part_edges=4 << 20):
     # host-side normalization (native OpenMP builder): no device round-trip
     adj = symmetric_normalized_weights_host(g)
     bundle = prepare_chunked_parts(adj, max_edges_per_part=part_edges)
-    parts = bundle[0]
-    print(f"normalized + partitioned into {len(parts)} parts "
+    print(f"normalized + partitioned into {bundle[0].num_parts} parts "
           f"({time.time() - t0:.1f}s)")
 
     x = jnp.asarray(g.x)

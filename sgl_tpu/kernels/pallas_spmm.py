@@ -204,11 +204,16 @@ def split_extras(
 
     hub_ids = hub_m = None
     if hubs is not None:
+        k = hubs.shape[0]
         col = np.full(n, -1, np.int64)
-        col[hubs] = np.arange(hubs.shape[0])
+        col[hubs] = np.arange(k)
         hubm = col[src] >= 0
-        hub_m = np.zeros((n, hubs.shape[0]), np.float32)
-        np.add.at(hub_m, (dst[hubm], col[src[hubm]]), w[hubm])
+        # bincount instead of np.add.at: ~10x faster at tens of millions of
+        # hub edges (add.at is a per-element ufunc loop)
+        flat = dst[hubm].astype(np.int64) * k + col[src[hubm]]
+        hub_m = np.bincount(flat, weights=w[hubm], minlength=n * k).reshape(
+            n, k
+        ).astype(np.float32)
         src, dst, w = src[~hubm], dst[~hubm], w[~hubm]
         hub_ids = hubs
     return src, dst, w, diag, hub_ids, hub_m
@@ -410,6 +415,52 @@ class ChunkedPart:
         return cls(*leaves, *aux)
 
 
+@jax.tree_util.register_pytree_node_class
+@dataclasses.dataclass(frozen=True)
+class StackedParts:
+    """All parts stacked on a leading axis so the whole streaming SpMM runs
+    as ONE jitted ``lax.scan`` — one kernel launch per hop instead of one
+    per part (a ~31 ms dispatch each over a tunneled link; launch overhead
+    on real chips too), with peak memory still one part's buffers (scan
+    temporaries are per-iteration)."""
+
+    src: jnp.ndarray  # (Pn, E_b) int32
+    dst: jnp.ndarray  # (Pn, E_b) int32, part-local rows
+    w: jnp.ndarray  # (Pn, E_b) f32
+    chunk_tile: jnp.ndarray  # (Pn, C) int32
+    tile_offset: jnp.ndarray  # (Pn,) int32 (×TILE_R = global row offset)
+    valid_rows: jnp.ndarray  # (Pn,) int32 = n_tiles·TILE_R per part
+
+    def tree_flatten(self):
+        return (
+            self.src,
+            self.dst,
+            self.w,
+            self.chunk_tile,
+            self.tile_offset,
+            self.valid_rows,
+        ), ()
+
+    @classmethod
+    def tree_unflatten(cls, aux, leaves):
+        return cls(*leaves)
+
+    @property
+    def num_parts(self) -> int:
+        return int(self.src.shape[0])
+
+
+def stack_parts(parts) -> StackedParts:
+    return StackedParts(
+        jnp.stack([p.src for p in parts]),
+        jnp.stack([p.dst for p in parts]),
+        jnp.stack([p.w for p in parts]),
+        jnp.stack([p.chunk_tile for p in parts]),
+        jnp.asarray([p.tile_offset * TILE_R for p in parts], jnp.int32),
+        jnp.asarray([p.n_tiles * TILE_R for p in parts], jnp.int32),
+    )
+
+
 def prepare_chunked_parts(
     adj: SparseAdj,
     max_edges_per_part: int = 16 << 20,
@@ -487,37 +538,66 @@ def prepare_chunked_parts(
         hub_ids=full.hub_ids,
         hub_m=full.hub_m,
     )
-    return parts, full.num_nodes, max_tiles, extras
+    return stack_parts(parts), full.num_nodes, max_tiles, extras
 
 
-@functools.partial(jax.jit, static_argnames=("n_rows", "interpret"))
-def _part_rows(part: ChunkedPart, x, n_rows: int, interpret: bool = False):
+@functools.partial(
+    jax.jit, static_argnames=("n_rows", "num_nodes", "interpret")
+)
+def _streaming_scan(
+    stk: StackedParts,
+    extras: ChunkedAdj,
+    x,
+    n_rows: int,
+    num_nodes: int,
+    interpret: bool = False,
+):
     d = x.shape[1]
     d_pad = _round_up(d, 128)
     xp = x if d_pad == d else jnp.pad(x, ((0, 0), (0, d_pad - d)))
-    msgs = jnp.take(xp, part.src, axis=0).astype(jnp.float32) * part.w[:, None]
-    hi = msgs.astype(jnp.bfloat16)
-    lo = (msgs - hi.astype(jnp.float32)).astype(jnp.bfloat16)
-    out = _segment_reduce_mxu(
-        hi, lo, part.dst, part.chunk_tile, num_nodes=n_rows, interpret=interpret
+    xp = xp.astype(jnp.float32)
+    # the accumulator keeps an n_rows overhang so every part's dynamic
+    # window is in-bounds (no start-index clamping double-adds)
+    n_total = _round_up(num_nodes, TILE_R) + n_rows
+    row_ids = jnp.arange(n_rows, dtype=jnp.int32)
+
+    def body(y, part):
+        src, dst, w, ct, off, valid = part
+        msgs = jnp.take(xp, src, axis=0) * w[:, None]
+        hi = msgs.astype(jnp.bfloat16)
+        lo = (msgs - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+        out = _segment_reduce_mxu(
+            hi, lo, dst, ct, num_nodes=n_rows, interpret=interpret
+        )
+        # rows past the part's real tiles are never written by the kernel
+        out = jnp.where((row_ids < valid)[:, None], out, 0.0)
+        cur = jax.lax.dynamic_slice(y, (off, 0), (n_rows, d_pad))
+        return jax.lax.dynamic_update_slice(y, cur + out, (off, 0)), None
+
+    y0 = jnp.zeros((n_total, d_pad), jnp.float32)
+    y, _ = jax.lax.scan(
+        body,
+        y0,
+        (stk.src, stk.dst, stk.w, stk.chunk_tile, stk.tile_offset, stk.valid_rows),
     )
-    return out[:, :d].astype(x.dtype)
+    y = y[:num_nodes, :d]
+    return extras.apply_extras(x, y).astype(x.dtype)
 
 
 def spmm_pallas_streaming(parts_bundle, x: jnp.ndarray, interpret: bool = False) -> jnp.ndarray:
-    """``y = adj @ x`` part by part; peak device memory is one part's
-    message buffers instead of the whole graph's.  Consecutive parts may
-    share a boundary tile (mid-tile splits), so partial sums overlap-ADD."""
-    parts, num_nodes, max_tiles, extras = parts_bundle
-    n_rows = max_tiles * TILE_R
-    n_total = _round_up(num_nodes, TILE_R)
-    y = jnp.zeros((n_total, x.shape[1]), x.dtype)
-    for p in parts:
-        rows = _part_rows(p, x, n_rows=n_rows, interpret=interpret)
-        lo = p.tile_offset * TILE_R  # python int: static update slice
-        y = y.at[lo : lo + p.n_tiles * TILE_R].add(rows[: p.n_tiles * TILE_R])
-    y = y[:num_nodes]
-    return extras.apply_extras(x, y).astype(x.dtype)
+    """``y = adj @ x`` over stacked parts in one jitted scan; peak device
+    memory is one part's message buffers instead of the whole graph's.
+    Consecutive parts may share a boundary tile (mid-tile splits), so
+    partial sums overlap-ADD into the accumulator."""
+    stk, num_nodes, max_tiles, extras = parts_bundle
+    return _streaming_scan(
+        stk,
+        extras,
+        x,
+        n_rows=max_tiles * TILE_R,
+        num_nodes=num_nodes,
+        interpret=interpret,
+    )
 
 
 def _spmm_pallas_fwd(adj, x, interpret):

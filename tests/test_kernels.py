@@ -174,8 +174,7 @@ def test_streaming_spmm_matches_segment():
     x = jnp.asarray(g.x)
     want = np.asarray(spmm(adj, x))
     bundle = prepare_chunked_parts(adj, max_edges_per_part=2 * CHUNK)
-    parts = bundle[0]
-    assert len(parts) > 1, "part size did not force splitting"
+    assert bundle[0].num_parts > 1, "part size did not force splitting"
     got = np.asarray(spmm_pallas_streaming(bundle, x, interpret=True))
     np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
 
