@@ -5,10 +5,11 @@ Prints ONE JSON line:
   {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
 
 ``vs_baseline`` is the speedup over the reference's precompute path measured
-on this host — scipy CSR@dense, the exact fallback the reference uses off
-Linux (``sgl/operators/base_op.py:30-34``); its Linux OpenMP kernel is the
-same O(nnz·d) HBM-bound loop, so scipy-on-host is the honest stand-in
-given the reference cannot run its CUDA/OMP path here.
+on this host: its actual Linux kernel ``FloatCSRMulDenseOMP``
+(``sgl/operators/csrc/matmul.c:23-40``, called from
+``sgl/operators/base_op.py:30-34``), compiled here from the read-only
+reference source and invoked via ctypes exactly as the reference does —
+plus its off-Linux scipy fallback; the FASTER of the two is the baseline.
 
 Timing methodology: the tunneled TPU backend has a ~31 ms fixed
 dispatch+readback round-trip and an unreliable ``block_until_ready``, so all
@@ -21,6 +22,7 @@ Details go to stderr; the single JSON line goes to stdout.
 from __future__ import annotations
 
 import json
+import os
 import sys
 import time
 
@@ -48,6 +50,54 @@ def timed(fn, iters: int = 3) -> float:
         _sync_scalar(fn())
         ts.append(time.perf_counter() - t0)
     return float(np.median(ts))
+
+
+def _reference_omp_spmm(csr, xh):
+    """Time one hop of the reference's ACTUAL Linux precompute kernel:
+    ``FloatCSRMulDenseOMP`` (``sgl/operators/csrc/matmul.c:23-40``), the
+    function ``GraphOp.propagate`` calls on Linux
+    (``sgl/operators/base_op.py:30-34``).  Compiled here from the
+    read-only reference source; returns seconds/hop or None.
+    """
+    import ctypes  # noqa: F401 (numpy.ctypeslib pulls it in)
+    import subprocess
+    import tempfile
+    from ctypes import c_int
+
+    import numpy.ctypeslib as ctl
+
+    src = "/root/reference/sgl/operators/csrc/matmul.c"
+    lib = os.path.join(tempfile.gettempdir(), "sgl_ref_baseline_libmatmul.so")
+    try:
+        if not os.path.exists(lib):
+            subprocess.run(
+                ["gcc", "-O3", "-march=native", "-fopenmp", "-shared",
+                 "-fPIC", src, "-o", lib],
+                check=True, capture_output=True, timeout=120,
+            )
+        ctl_lib = ctl.load_library(os.path.basename(lib), os.path.dirname(lib))
+        arr_i = ctl.ndpointer(dtype=np.int32, ndim=1, flags="CONTIGUOUS")
+        arr_f = ctl.ndpointer(dtype=np.float32, ndim=1, flags="CONTIGUOUS")
+        fn = ctl_lib.FloatCSRMulDenseOMP
+        fn.argtypes = [arr_f, arr_f, arr_i, arr_i, arr_f, c_int, c_int]
+        fn.restype = None
+        data = csr.data.astype(np.float32)
+        indices = csr.indices.astype(np.int32)
+        indptr = csr.indptr.astype(np.int32)
+        mat = np.ascontiguousarray(xh, np.float32).ravel()
+        rows, cols = xh.shape
+        answer = np.zeros(rows * cols, np.float32)
+        fn(answer, data, indices, indptr, mat, rows, cols)  # warm
+        ts = []
+        for _ in range(3):
+            answer[:] = 0
+            t0 = time.perf_counter()
+            fn(answer, data, indices, indptr, mat, rows, cols)
+            ts.append(time.perf_counter() - t0)
+        return float(np.median(ts))
+    except Exception as e:  # noqa: BLE001 - baseline is best-effort
+        log(f"reference OMP baseline unavailable: {type(e).__name__}: {e}")
+        return None
 
 
 def bench_spmm(n=200_000, avg_deg=25, d=128, iters=3):
@@ -89,14 +139,21 @@ def bench_spmm(n=200_000, avg_deg=25, d=128, iters=3):
 
     best = max(results.values())
 
-    # reference baseline: scipy CSR @ dense on this host (one hop is enough)
+    # reference baseline on this host: the OMP C kernel the reference calls
+    # on Linux, plus its off-Linux scipy fallback; vs_baseline uses the
+    # FASTER of the two (conservative for us)
     csr = to_scipy(g).tocsr().astype(np.float32)
     xh = np.asarray(x)
     t0 = time.perf_counter()
     _ = csr @ xh
-    dt_ref = time.perf_counter() - t0
+    dt_scipy = time.perf_counter() - t0
+    log(f"scipy baseline: {dt_scipy*1e3:.2f} ms/hop -> {csr.nnz/dt_scipy/1e9:.3f} G edges/s")
+    dt_omp = _reference_omp_spmm(csr, xh)
+    if dt_omp is not None:
+        log(f"reference FloatCSRMulDenseOMP baseline: {dt_omp*1e3:.2f} ms/hop "
+            f"-> {csr.nnz/dt_omp/1e9:.3f} G edges/s ({os.cpu_count()} cores)")
+    dt_ref = min(d_ for d_ in (dt_scipy, dt_omp) if d_ is not None)
     ref_eps = csr.nnz / dt_ref
-    log(f"scipy baseline: {dt_ref*1e3:.2f} ms/hop -> {ref_eps/1e9:.3f} G edges/s")
     return best, best / ref_eps
 
 
