@@ -125,3 +125,32 @@ def test_nafs_model_embeddings_cluster():
         ((z[:, None, :] - cents[None]) ** 2).sum(-1), axis=1
     )
     assert (pred == y).mean() > 0.7
+
+
+def test_fast_dropout_statistics():
+    """FastDropout (uint8 masks) must keep inverted-dropout semantics:
+    exact expectation, correct zero fraction, identity when deterministic."""
+    import jax
+    import jax.numpy as jnp
+
+    from sgl_tpu.models.blocks import FastDropout
+
+    x = jnp.ones((2000, 64), jnp.float32)
+    for rate in (0.5, 0.8):
+        m = FastDropout(rate)
+        y = np.asarray(
+            m.apply({}, x, deterministic=False, rngs={"dropout": jax.random.PRNGKey(3)})
+        )
+        zeros = (y == 0).mean()
+        assert abs(zeros - rate) < 0.01, (rate, zeros)
+        assert abs(y.mean() - 1.0) < 0.02, (rate, y.mean())
+        kept = y[y != 0]
+        # every kept element carries the same inverted-dropout scale
+        assert np.allclose(kept, kept[0])
+    m = FastDropout(0.5)
+    y = m.apply({}, x, deterministic=True, rngs={"dropout": jax.random.PRNGKey(3)})
+    assert np.asarray(y == 1.0).all()
+    # bf16 activations stay bf16 (no silent f32 upcast)
+    xb = x.astype(jnp.bfloat16)
+    yb = m.apply({}, xb, deterministic=False, rngs={"dropout": jax.random.PRNGKey(4)})
+    assert yb.dtype == jnp.bfloat16
