@@ -42,14 +42,18 @@ def _sync_scalar(out):
 
 
 def timed(fn, iters: int = 3) -> float:
-    """Median wall time of fn() with a forced scalar readback."""
+    """Min wall time of fn() with a forced scalar readback.
+
+    Min (not median) estimates the quiet-tunnel time: the relay adds
+    multi-ms one-sided noise spikes, so the floor is the stable statistic
+    (same methodology as dev/exp_spmm.py)."""
     _sync_scalar(fn())  # warm / compile
     ts = []
     for _ in range(iters):
         t0 = time.perf_counter()
         _sync_scalar(fn())
         ts.append(time.perf_counter() - t0)
-    return float(np.median(ts))
+    return float(np.min(ts))
 
 
 def _reference_omp_spmm(csr, xh):

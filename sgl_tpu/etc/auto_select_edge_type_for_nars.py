@@ -5,7 +5,7 @@ keep the top-k subgraphs for the real run."""
 
 from __future__ import annotations
 
-from typing import List, Sequence, Tuple
+from typing import List, Tuple
 
 import numpy as np
 

@@ -10,8 +10,6 @@ bucket — the standard TPU serving recipe.
 
 from __future__ import annotations
 
-from typing import Optional
-
 import jax
 import jax.numpy as jnp
 import numpy as np
