@@ -287,6 +287,28 @@ def _round_up_arr(x: np.ndarray, m: int) -> np.ndarray:
     return ((x + m - 1) // m) * m
 
 
+def _seg_kernel_single(chunk_tile_ref, dst_ref, hi_ref, out_ref):
+    """One-matmul variant for bf16 inputs (no lo half)."""
+    c = pl.program_id(0)
+    tile = chunk_tile_ref[c]
+    is_first = jnp.logical_or(c == 0, chunk_tile_ref[jnp.maximum(c - 1, 0)] != tile)
+
+    @pl.when(is_first)
+    def _():
+        out_ref[:] = jnp.zeros_like(out_ref)
+
+    chunk = dst_ref.shape[-1]
+    local = dst_ref[0] - tile * TILE_R
+    rows = jax.lax.broadcasted_iota(jnp.int32, (TILE_R, chunk), 0)
+    onehot = (local == rows).astype(jnp.bfloat16)
+    out_ref[:] += jax.lax.dot_general(
+        onehot,
+        hi_ref[0],
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+
 def _seg_kernel(chunk_tile_ref, dst_ref, hi_ref, lo_ref, out_ref):
     c = pl.program_id(0)
     tile = chunk_tile_ref[c]
@@ -316,7 +338,9 @@ def _seg_kernel(chunk_tile_ref, dst_ref, hi_ref, lo_ref, out_ref):
 def _segment_reduce_mxu(hi, lo, dst, chunk_tile, num_nodes: int, interpret: bool = False):
     """Tile-chunked segment sum via the Pallas kernel.
 
-    hi/lo: [E', D] bf16 message halves (E' = n_chunks * chunk, D % 128 == 0)
+    hi/lo: [E', D] bf16 message halves (E' = n_chunks * chunk, D % 128 == 0).
+    ``lo=None`` selects the single-matmul variant (bf16 fidelity — used when
+    the caller's features are bf16 anyway, halving message HBM traffic).
     dst:   [E'] int32; chunk_tile: [n_chunks] int32 (non-decreasing).
     The chunk size is derived from the shapes (layouts built with any
     ``prepare_chunked`` chunk setting stay valid).
@@ -327,32 +351,38 @@ def _segment_reduce_mxu(hi, lo, dst, chunk_tile, num_nodes: int, interpret: bool
     assert e_pad == n_chunks * chunk and d % 128 == 0
     n_tiles = pl.cdiv(num_nodes, TILE_R)
     hi3 = hi.reshape(n_chunks, chunk, d)
-    lo3 = lo.reshape(n_chunks, chunk, d)
     dst3 = dst.reshape(n_chunks, 1, chunk)
+    msg_spec = pl.BlockSpec((1, chunk, d), lambda c, ct: (c, 0, 0))
+    in_specs = [pl.BlockSpec((1, 1, chunk), lambda c, ct: (c, 0, 0)), msg_spec]
+    operands = [dst3, hi3]
+    if lo is None:
+        kernel = _seg_kernel_single
+        passes = 1
+    else:
+        kernel = _seg_kernel
+        passes = 2
+        in_specs.append(msg_spec)
+        operands.append(lo.reshape(n_chunks, chunk, d))
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(n_chunks,),
-        in_specs=[
-            pl.BlockSpec((1, 1, chunk), lambda c, ct: (c, 0, 0)),
-            pl.BlockSpec((1, chunk, d), lambda c, ct: (c, 0, 0)),
-            pl.BlockSpec((1, chunk, d), lambda c, ct: (c, 0, 0)),
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec(
             (TILE_R, d), lambda c, ct: (ct[c], 0), memory_space=pltpu.VMEM
         ),
     )
     out = pl.pallas_call(
-        _seg_kernel,
+        kernel,
         out_shape=jax.ShapeDtypeStruct((n_tiles * TILE_R, d), jnp.float32),
         grid_spec=grid_spec,
         interpret=interpret,
         cost_estimate=pl.CostEstimate(
-            flops=4 * e_pad * TILE_R * d,
-            bytes_accessed=e_pad * (d * 4 + 4) + n_tiles * TILE_R * d * 4,
+            flops=2 * passes * e_pad * TILE_R * d,
+            bytes_accessed=e_pad * (d * 2 * passes + 4) + n_tiles * TILE_R * d * 4,
             transcendentals=0,
         ),
-    )(chunk_tile, dst3, hi3, lo3)
+    )(chunk_tile, *operands)
     return out[:num_nodes]
 
 
@@ -381,10 +411,17 @@ def _spmm_pallas_impl(adj: ChunkedAdj, x: jnp.ndarray, interpret: bool = False) 
     # instead would materialize the full f32 message buffer (10 GB at
     # products scale) because the pad breaks the gather->bf16 write fusion
     msgs = jnp.take(xp, adj.src, axis=0).astype(jnp.float32) * adj.w[:, None]
-    # hi/lo bf16 halves as separate arrays: each output's write fuses with
-    # the gather (a concat would force an extra materialize+copy pass)
     hi = msgs.astype(jnp.bfloat16)
-    lo = (msgs - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    if x.dtype == jnp.bfloat16:
+        # bf16 features: one bf16 rounding of the weighted message is the
+        # same error scale as the input quantization itself — single-pass
+        # kernel, half the message HBM traffic
+        lo = None
+    else:
+        # hi/lo bf16 halves as separate arrays: each output's write fuses
+        # with the gather (a concat would force an extra materialize+copy
+        # pass); hi + lo reconstructs f32 to ~2^-16 relative error
+        lo = (msgs - hi.astype(jnp.float32)).astype(jnp.bfloat16)
     out = _segment_reduce_mxu(
         hi, lo, adj.dst, adj.chunk_tile, num_nodes=adj.num_nodes, interpret=interpret
     )

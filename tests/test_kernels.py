@@ -190,3 +190,19 @@ def test_graph_op_adj_cache():
     g2 = random_graph(n=80, seed=22)
     a3 = op._adj_for(g2, None)
     assert a3 is not a1  # different graph rebuilds
+
+
+def test_pallas_spmm_bf16_single_pass():
+    """bf16 features take the one-matmul kernel (no lo half) and match the
+    f32 result to bf16 precision; output dtype follows the input."""
+    g = random_graph(n=500, avg_deg=14, d=24, seed=23)
+    adj = symmetric_normalized_weights(g, sort=True)
+    ch = prepare_chunked(adj)
+    x32 = jnp.asarray(g.x)
+    want = np.asarray(spmm_pallas(ch, x32, interpret=True))
+    got = spmm_pallas(ch, x32.astype(jnp.bfloat16), interpret=True)
+    assert got.dtype == jnp.bfloat16
+    scale = np.abs(want).max()
+    np.testing.assert_allclose(
+        np.asarray(got, np.float32), want, rtol=0, atol=2e-2 * scale
+    )
