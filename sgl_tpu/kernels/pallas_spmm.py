@@ -592,6 +592,7 @@ def _streaming_scan(
     d = x.shape[1]
     d_pad = _round_up(d, 128)
     xp = x if d_pad == d else jnp.pad(x, ((0, 0), (0, d_pad - d)))
+    single = x.dtype == jnp.bfloat16  # same dispatch as _spmm_pallas_impl
     xp = xp.astype(jnp.float32)
     # the accumulator keeps an n_rows overhang so every part's dynamic
     # window is in-bounds (no start-index clamping double-adds)
@@ -602,7 +603,7 @@ def _streaming_scan(
         src, dst, w, ct, off, valid = part
         msgs = jnp.take(xp, src, axis=0) * w[:, None]
         hi = msgs.astype(jnp.bfloat16)
-        lo = (msgs - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+        lo = None if single else (msgs - hi.astype(jnp.float32)).astype(jnp.bfloat16)
         out = _segment_reduce_mxu(
             hi, lo, dst, ct, num_nodes=n_rows, interpret=interpret
         )

@@ -206,3 +206,22 @@ def test_pallas_spmm_bf16_single_pass():
     np.testing.assert_allclose(
         np.asarray(got, np.float32), want, rtol=0, atol=2e-2 * scale
     )
+
+
+def test_streaming_spmm_bf16_single_pass():
+    """The streaming (huge-graph) path takes the same bf16 one-matmul
+    dispatch and stays within bf16 tolerance of the f32 result."""
+    from sgl_tpu.kernels import prepare_chunked_parts, spmm_pallas_streaming
+    from sgl_tpu.kernels.pallas_spmm import CHUNK
+
+    g = random_graph(n=700, avg_deg=12, d=16, seed=29)
+    adj = symmetric_normalized_weights(g, sort=True)
+    x32 = jnp.asarray(g.x)
+    bundle = prepare_chunked_parts(adj, max_edges_per_part=2 * CHUNK)
+    want = np.asarray(spmm_pallas_streaming(bundle, x32, interpret=True))
+    got = spmm_pallas_streaming(bundle, x32.astype(jnp.bfloat16), interpret=True)
+    assert got.dtype == jnp.bfloat16
+    scale = np.abs(want).max()
+    np.testing.assert_allclose(
+        np.asarray(got, np.float32), want, rtol=0, atol=2e-2 * scale
+    )
