@@ -64,11 +64,22 @@ def k_hop_aggregate(
         h_next = spmm(adj, h, backend=backend)
         return (h_next, acc + w_k * h_next), None
 
+    # accumulate in f32 even for bf16 hops (weights are f32, so the adds
+    # upcast); cast back so the cached result keeps the requested dtype
     acc0 = weights[0] * x
     (_, acc), _ = jax.lax.scan(
         step, (x, acc0), weights[1:], length=prop_steps
     )
-    return jax.lax.stop_gradient(acc)
+    return jax.lax.stop_gradient(acc.astype(x.dtype))
+
+
+def _as_compute_dtype(x) -> jnp.ndarray:
+    """f32 by default; bf16 passes through (opt-in fast precompute —
+    the Pallas SpMM has a single-pass bf16 variant)."""
+    x = jnp.asarray(x)
+    if x.dtype == jnp.bfloat16:
+        return x
+    return x.astype(jnp.float32)
 
 
 class GraphOp:
@@ -115,7 +126,7 @@ class GraphOp:
             )
         adj = self._adj_for(graph, backend)
         return k_hop_propagate(
-            adj, jnp.asarray(x, jnp.float32), self.prop_steps, backend=backend
+            adj, _as_compute_dtype(x), self.prop_steps, backend=backend
         )
 
     def propagate_aggregate(
@@ -129,7 +140,7 @@ class GraphOp:
         adj = self._adj_for(graph, backend)
         return k_hop_aggregate(
             adj,
-            jnp.asarray(x, jnp.float32),
+            _as_compute_dtype(x),
             jnp.asarray(weights, jnp.float32),
             self.prop_steps,
             backend=backend,

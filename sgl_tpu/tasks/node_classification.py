@@ -44,6 +44,7 @@ class NodeClassification(BaseTask):
         train_batch_size: Optional[int] = None,
         eval_batch_size: Optional[int] = None,
         verbose: bool = True,
+        precompute_dtype=None,  # e.g. jnp.bfloat16: +25% SpMM, half hop memory
     ):
         super().__init__()
         self._dataset = dataset
@@ -56,6 +57,7 @@ class NodeClassification(BaseTask):
         self._train_batch_size = train_batch_size
         self._eval_batch_size = eval_batch_size
         self._verbose = verbose
+        self._precompute_dtype = precompute_dtype
         self._test_acc = self._execute()
 
     @property
@@ -69,7 +71,7 @@ class NodeClassification(BaseTask):
         np_rng = np.random.default_rng(self._seed)
 
         t0 = time.time()
-        model.preprocess(ds.graph, ds.x)
+        model.preprocess(ds.graph, ds.x, dtype=self._precompute_dtype)
         if self._verbose:
             print(f"Preprocessing done in {time.time() - t0:.4f}s")
 

@@ -127,6 +127,22 @@ def test_nafs_model_embeddings_cluster():
     assert (pred == y).mean() > 0.7
 
 
+def test_bf16_precompute_trains_to_band():
+    """precompute_dtype=bf16 halves the hop cache and takes the single-pass
+    SpMM; quality must stay in the same band as f32."""
+    import jax.numpy as jnp
+
+    model = homo.SGC(3, DS.num_features, DS.num_classes)
+    acc = _run(model, epochs=30, precompute_dtype=jnp.bfloat16)
+    assert model.processed_feature.dtype == jnp.bfloat16
+    assert acc > 0.85, acc
+
+    # lazy (learnable msg-op) path caches the bf16 hop stack too
+    g = homo.GAMLP(3, DS.num_features, DS.num_classes, hidden_dim=32, num_layers=2)
+    g.preprocess(DS.graph, DS.x, dtype=jnp.bfloat16)
+    assert g.processed_feature.dtype == jnp.bfloat16
+
+
 def test_fast_dropout_statistics():
     """FastDropout (uint8 masks) must keep inverted-dropout semantics:
     exact expectation, correct zero fraction, identity when deterministic."""
