@@ -75,7 +75,18 @@ def read_npz(path: str) -> Tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]
 
 def read_csv_gz(path: str, dtype=np.float32) -> np.ndarray:
     """Read a headerless (possibly gzipped) csv into a 2-D numpy array —
-    the OGB raw format."""
+    the OGB raw format.
+
+    Tries the native loader first (``csrc/csv_loader.cpp``: zlib stream +
+    OpenMP-parallel parse — the host-side bottleneck of ogbn-products /
+    papers100M ingestion is these multi-GB csv.gz files); falls back to
+    ``numpy.loadtxt`` when the library or dialect doesn't apply.
+    """
+    from sgl_tpu.graph.native import load_csv_native
+
+    out = load_csv_native(path, dtype)
+    if out is not None:
+        return out
     opener = gzip.open if path.endswith(".gz") else open
     with opener(path, "rt") as f:
         return np.loadtxt(f, delimiter=",", dtype=dtype, ndmin=2)

@@ -20,7 +20,10 @@ import numpy.ctypeslib as ctl
 
 _CSRC_DIR = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "csrc")
 _SO_PATH = os.path.join(_CSRC_DIR, "libsglgraph.so")
-_SRC_PATH = os.path.join(_CSRC_DIR, "graph_builder.cpp")
+_SRC_PATHS = [
+    os.path.join(_CSRC_DIR, "graph_builder.cpp"),
+    os.path.join(_CSRC_DIR, "csv_loader.cpp"),
+]
 
 _lib: Optional[ctypes.CDLL] = None
 _lib_failed = False
@@ -30,8 +33,8 @@ def _build() -> bool:
     try:
         subprocess.run(
             [
-                "g++", "-O3", "-march=native", "-fopenmp", "-shared", "-fPIC",
-                "-o", _SO_PATH, _SRC_PATH,
+                "g++", "-O3", "-march=native", "-fopenmp", "-pthread",
+                "-shared", "-fPIC", "-o", _SO_PATH, *_SRC_PATHS, "-lz",
             ],
             check=True,
             capture_output=True,
@@ -46,7 +49,9 @@ def _load() -> Optional[ctypes.CDLL]:
     global _lib, _lib_failed
     if _lib is not None or _lib_failed:
         return _lib
-    if not os.path.exists(_SO_PATH) or os.path.getmtime(_SO_PATH) < os.path.getmtime(_SRC_PATH):
+    if not os.path.exists(_SO_PATH) or os.path.getmtime(_SO_PATH) < max(
+        os.path.getmtime(p) for p in _SRC_PATHS
+    ):
         if not _build():
             _lib_failed = True
             return None
@@ -64,6 +69,16 @@ def _load() -> Optional[ctypes.CDLL]:
     lib.sgl_normalized_weights.argtypes = [
         i32, i32, f32, ctypes.c_int64, f32, ctypes.c_float, f32,
     ]
+    lib.sgl_csv_load.argtypes = [
+        ctypes.c_char_p,
+        ctypes.c_int,
+        ctypes.POINTER(ctypes.c_void_p),
+        ctypes.POINTER(ctypes.c_int64),
+        ctypes.POINTER(ctypes.c_int64),
+    ]
+    lib.sgl_csv_load.restype = ctypes.c_int64
+    lib.sgl_buf_free.argtypes = [ctypes.c_void_p]
+    lib.sgl_buf_free.restype = None
     _lib = lib
     return _lib
 
@@ -142,3 +157,41 @@ def build_normalized_adj_host(
     deg = compute_degrees(s, v, num_nodes)
     w = normalized_weights(s, d, v, deg, r)
     return sort_edges_by_dst(s, d, w, num_nodes)
+
+
+def load_csv_native(path: str, dtype=np.float32) -> Optional[np.ndarray]:
+    """Parse a headerless numeric csv / csv.gz with the native loader
+    (``csrc/csv_loader.cpp``: zlib stream + OpenMP-parallel parse).
+
+    Returns a 2-D array, or ``None`` when the native library is missing,
+    the dtype is unsupported, or the file doesn't fit the strict numeric
+    dialect — callers fall back to ``numpy.loadtxt``.
+    """
+    dtype = np.dtype(dtype)
+    code = {np.dtype(np.float32): 0, np.dtype(np.int64): 1}.get(dtype)
+    lib = _load()
+    if lib is None or code is None:
+        return None
+    data = ctypes.c_void_p()
+    rows = ctypes.c_int64()
+    cols = ctypes.c_int64()
+    status = lib.sgl_csv_load(
+        path.encode(), code, ctypes.byref(data), ctypes.byref(rows),
+        ctypes.byref(cols),
+    )
+    if status != 0:
+        if data.value:
+            lib.sgl_buf_free(data)
+        return None
+    try:
+        n = rows.value * cols.value
+        if n == 0:
+            return np.zeros((rows.value, cols.value), dtype)
+        buf = ctypes.cast(
+            data, ctypes.POINTER(ctypes.c_char * (n * dtype.itemsize))
+        ).contents
+        return np.frombuffer(buf, dtype=dtype).reshape(
+            rows.value, cols.value
+        ).copy()
+    finally:
+        lib.sgl_buf_free(data)

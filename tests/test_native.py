@@ -63,3 +63,84 @@ def test_full_build_matches_jax_normalize():
         rtol=1e-4,
         atol=1e-5,
     )
+
+
+class TestNativeCsvLoader:
+    """csrc/csv_loader.cpp vs numpy.loadtxt (the fallback it replaces)."""
+
+    def _roundtrip(self, tmp_path, arr, fmt, dtype, gz=True):
+        import gzip
+
+        p = str(tmp_path / ("t.csv" + (".gz" if gz else "")))
+        opener = gzip.open if gz else open
+        with opener(p, "wt") as f:
+            np.savetxt(f, arr, delimiter=",", fmt=fmt)
+        out = native.load_csv_native(p, dtype)
+        assert out is not None, "native loader unavailable or refused file"
+        with opener(p, "rt") as f:
+            ref = np.loadtxt(f, delimiter=",", dtype=dtype, ndmin=2)
+        assert out.dtype == ref.dtype and out.shape == ref.shape
+        np.testing.assert_array_equal(out, ref)
+
+    def test_int64_gz(self, tmp_path):
+        rng = np.random.default_rng(0)
+        self._roundtrip(
+            tmp_path, rng.integers(-(2**40), 2**40, (500, 3)), "%d", np.int64
+        )
+
+    def test_float32_exponents(self, tmp_path):
+        rng = np.random.default_rng(1)
+        a = rng.normal(size=(300, 5)) * 10.0 ** rng.integers(-12, 12, (300, 5))
+        self._roundtrip(tmp_path, a, "%.8g", np.float32, gz=False)
+
+    def test_single_column(self, tmp_path):
+        self._roundtrip(
+            tmp_path, np.arange(123).reshape(-1, 1), "%d", np.int64
+        )
+
+    def test_special_floats(self, tmp_path):
+        a = np.array([[np.nan, np.inf], [-np.inf, 0.0]])
+        p = str(tmp_path / "s.csv")
+        np.savetxt(p, a, delimiter=",")
+        out = native.load_csv_native(p, np.float32)
+        assert out is not None
+        ref = np.loadtxt(p, delimiter=",", dtype=np.float32, ndmin=2)
+        np.testing.assert_array_equal(np.isnan(out), np.isnan(ref))
+        np.testing.assert_array_equal(
+            out[~np.isnan(out)], ref[~np.isnan(ref)]
+        )
+
+    def test_malformed_returns_none(self, tmp_path):
+        ragged = tmp_path / "bad.csv"
+        ragged.write_text("1,2\n3\n")
+        assert native.load_csv_native(str(ragged), np.float32) is None
+        nonnum = tmp_path / "bad2.csv"
+        nonnum.write_text("1,abc\n")
+        assert native.load_csv_native(str(nonnum), np.float32) is None
+
+    def test_read_csv_gz_uses_native_result(self, tmp_path):
+        # the public dataset-layer entry point must agree with loadtxt
+        import gzip
+
+        from sgl_tpu.datasets.utils import read_csv_gz
+
+        rng = np.random.default_rng(2)
+        a = rng.normal(size=(50, 4)).astype(np.float32)
+        p = str(tmp_path / "feat.csv.gz")
+        with gzip.open(p, "wt") as f:
+            np.savetxt(f, a, delimiter=",", fmt="%.7g")
+        out = read_csv_gz(p, np.float32)
+        with gzip.open(p, "rt") as f:
+            ref = np.loadtxt(f, delimiter=",", dtype=np.float32, ndmin=2)
+        np.testing.assert_array_equal(out, ref)
+
+    def test_unsupported_dtype_falls_back(self, tmp_path):
+        # float64 has no native code path -> load_csv_native returns None,
+        # read_csv_gz silently falls back to loadtxt
+        p = tmp_path / "d.csv"
+        np.savetxt(str(p), np.eye(3), delimiter=",")
+        assert native.load_csv_native(str(p), np.float64) is None
+        from sgl_tpu.datasets.utils import read_csv_gz
+
+        out = read_csv_gz(str(p), np.float64)
+        np.testing.assert_array_equal(out, np.eye(3))

@@ -34,7 +34,7 @@ def test_2_1_native_kernels():
         "ChunkedAdj",
         "ChunkedPart",
     )
-    # ctypes bridge analog: host-side native graph builder
+    # ctypes bridge analog: host-side native graph builder + data loader
     _has(
         "sgl_tpu.graph.native",
         "native_available",
@@ -42,6 +42,7 @@ def test_2_1_native_kernels():
         "compute_degrees",
         "normalized_weights",
         "build_normalized_adj_host",
+        "load_csv_native",
     )
 
 
