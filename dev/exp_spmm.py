@@ -397,6 +397,56 @@ def run_micro2():
         log(f"gather[{name}]: {per*1e3:.2f} ms -> {per/e*1e9:.3f} ns/row")
 
 
+def run_micro3():
+    """Gather lowering variants: does the index-clamp/fill mode or the
+    gather construction change the ~3.5 ns/row fixed cost?"""
+    import jax
+    import jax.numpy as jnp
+
+    n, e = 200_000, 5_200_000
+    rng = np.random.default_rng(0)
+    idx0 = jnp.asarray(rng.integers(0, n, e).astype(np.int32))
+    x = jnp.ones((n, 128), jnp.float32)
+
+    variants = {
+        "take(default=clip)": lambda x, idx: jnp.take(x, idx, axis=0),
+        "take(fill)": lambda x, idx: jnp.take(x, idx, axis=0, mode="fill"),
+        "at.get(promise_in_bounds)": lambda x, idx: x.at[idx].get(
+            mode="promise_in_bounds"
+        ),
+        "x[idx]": lambda x, idx: x[idx],
+        "onearg lax.gather": lambda x, idx: jax.lax.gather(
+            x,
+            idx[:, None],
+            jax.lax.GatherDimensionNumbers(
+                offset_dims=(1,),
+                collapsed_slice_dims=(0,),
+                start_index_map=(0,),
+            ),
+            (1, x.shape[1]),
+            mode=jax.lax.GatherScatterMode.PROMISE_IN_BOUNDS,
+        ),
+    }
+
+    for name, g in variants.items():
+        def run(k, g=g):
+            @jax.jit
+            def f(x, i0):
+                acc = jnp.float32(0)
+                idx = i0
+                for _ in range(k):
+                    y = g(x, idx)
+                    s = y[0, 0].astype(jnp.float32)
+                    acc = acc + s
+                    idx = i0 + (s * 0).astype(jnp.int32)
+                return acc
+
+            return f(x, idx0)
+
+        per = slope(run, 2, 6)
+        log(f"gather[{name}]: {per*1e3:.2f} ms -> {per/e*1e9:.3f} ns/row")
+
+
 def run_chunk_sweep():
     import jax
     import jax.numpy as jnp
@@ -517,6 +567,8 @@ if __name__ == "__main__":
         run_micro()
     if "--micro2" in args:
         run_micro2()
+    if "--micro3" in args:
+        run_micro3()
     if "--perf" in args:
         run_perf()
     if "--sweep" in args:

@@ -322,11 +322,15 @@ class IterateLearnableWeightedMessageOp(MessageOp):
         hop = (lambda i: h[:, i]) if node_major else (lambda i: h[i])
         gate = nn.Dense(1)
         weighted = hop(0)
-        logits = None  # (B, i+1) raw sigmoid gates accumulated so far
+        # reference quirk preserved exactly: the accumulated weight list is
+        # stored ALREADY-SOFTMAXED and the next raw sigmoid is appended to
+        # those normalized values before re-softmaxing
+        # (iterate_learnable_weighted_message_op.py:36-40)
+        w = None  # (B, i+1) softmaxed weights so far
         for i in range(k):
             g = nn.sigmoid(gate(jnp.concatenate([hop(i), weighted], axis=-1)))
-            logits = g if logits is None else jnp.concatenate([logits, g], axis=1)
-            w = nn.softmax(logits, axis=1)  # (B, i+1)
+            w = g if w is None else jnp.concatenate([w, g], axis=1)
+            w = nn.softmax(w, axis=1)  # (B, i+1)
             weighted = (
                 jnp.einsum("bk,bkd->bd", w, h[:, : i + 1])
                 if node_major

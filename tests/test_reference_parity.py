@@ -280,3 +280,75 @@ def test_cluster_loss_parity():
         cluster_loss(jnp.asarray(out), jnp.asarray(y_pred), jnp.asarray(centers))
     )
     np.testing.assert_allclose(got, want, rtol=1e-4)
+
+
+def test_iterate_recursive_parity_with_copied_params(g):
+    """GAMLP-Recursive gating, incl. the reference's re-softmax-the-softmaxed
+    weight accumulation quirk (iterate_learnable_weighted_message_op.py:36-40)."""
+    from sgl.operators.message_op import (
+        IterateLearnableWeightedMessageOp as RefIterate,
+    )
+
+    from sgl_tpu.ops import IterateLearnableWeightedMessageOp
+
+    hops = _hops(g)
+    d = hops.shape[-1]
+    # start != 0 crashes the reference itself (its inner accumulation loop
+    # indexes weight_list with the GLOBAL hop index,
+    # iterate_learnable_weighted_message_op.py:43-46) — quirk not replicated
+    for start, end in [(0, 4), (0, 3)]:
+        ref_op = RefIterate(start, end, "recursive", d)
+        want = ref_op.aggregate(_ref_hop_list(hops)).detach().numpy()
+        lin = [m for m in ref_op.modules() if isinstance(m, torch.nn.Linear)][0]
+        our_op = IterateLearnableWeightedMessageOp(
+            start=start, end=end, combination_type="recursive"
+        )
+        params = {
+            "params": {
+                "Dense_0": {
+                    "kernel": jnp.asarray(lin.weight.detach().numpy().T),
+                    "bias": jnp.asarray(lin.bias.detach().numpy()),
+                }
+            }
+        }
+        got = np.asarray(our_op.apply(params, hops))
+        np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+
+@pytest.mark.parametrize("autoscale", [True, False])
+def test_correct_and_smooth_parity(g, autoscale):
+    """Full C&S post-processing vs the reference implementation."""
+    from sgl.tricks.correct_and_smooth import CorrectAndSmooth as RefCS
+    from sgl.tricks.utils import adj_to_symmetric_norm as ref_norm
+
+    from sgl_tpu.tricks import CorrectAndSmooth
+
+    n = g.num_nodes
+    c = 5
+    rng = np.random.default_rng(11)
+    y_soft = jax.nn.softmax(
+        jnp.asarray(rng.normal(size=(n, c)).astype(np.float32)), axis=-1
+    )
+    y_true = rng.integers(0, c, n)
+    mask = rng.choice(n, size=n // 3, replace=False)
+
+    cs = CorrectAndSmooth(3, 0.8, 2, 0.6, autoscale=autoscale, scale=1.5)
+    adj_norm = symmetric_normalized_weights(g)
+    got_c = cs.correct(y_soft, jnp.asarray(y_true), mask, adj_norm)
+    got_s = cs.smooth(got_c, jnp.asarray(y_true), mask, adj_norm)
+
+    ref_cs = RefCS(3, 0.8, 2, 0.6, autoscale=autoscale, scale=1.5)
+    ref_adj = ref_norm(to_scipy(g).tocsr(), 0.5)
+    want_c = ref_cs.correct(
+        torch.tensor(np.asarray(y_soft)), torch.LongTensor(y_true),
+        torch.LongTensor(mask), ref_adj,
+    )
+    want_s = ref_cs.smooth(
+        want_c.clone(), torch.LongTensor(y_true), torch.LongTensor(mask), ref_adj
+    )
+    np.testing.assert_allclose(
+        np.asarray(got_c), want_c.numpy(), rtol=1e-4, atol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(got_s), want_s.numpy(), rtol=1e-4, atol=1e-5
+    )
