@@ -4,6 +4,7 @@ from sgl_tpu.search.auto_search import SearchManager
 from sgl_tpu.search.search_config import ConfigManager, ARCH_KEYS
 from sgl_tpu.search.smbo import (
     run_nas,
+    run_sha,
     RandomSearch,
     EvolutionarySearch,
     History,

@@ -96,6 +96,65 @@ class EvolutionarySearch:
         return child
 
 
+def run_sha(
+    configer: ConfigManager,
+    n_configs: int = 27,
+    eta: int = 3,
+    min_epochs: int = 10,
+    seed: int = 0,
+    verbose: bool = True,
+    objective: Optional[Callable] = None,
+) -> History:
+    """Successive-halving NAS (beyond the reference, whose SMBO trains every
+    sampled architecture at the full epoch budget).
+
+    Rung 0 trains ``n_configs`` random architectures for ``min_epochs``
+    epochs; each subsequent rung keeps the top ``1/eta`` by accuracy and
+    multiplies the epoch budget by ``eta``.  Total compute is
+    ``O(n_configs · min_epochs · log_eta(n_configs))`` — for equal wall
+    clock this evaluates ~``eta×`` more architectures than flat search,
+    which matters when each trial re-runs the SGAP precompute.
+
+    ``objective(config, epochs=...)`` defaults to the configer's
+    ``_configFunction`` with its epoch budget overridden per rung.
+    """
+    rng = np.random.default_rng(seed)
+    if objective is None:
+        def objective(config, epochs):
+            saved = configer._epochs
+            configer._epochs = epochs
+            try:
+                return configer._configFunction(config)
+            finally:
+                configer._epochs = saved
+
+    history = History()
+    configs = [configer.sample(rng) for _ in range(n_configs)]
+    epochs = min_epochs
+    rung = 0
+    while configs:
+        scored = []
+        for config in configs:
+            t0 = time.time()
+            result = objective(config, epochs=epochs)
+            elapsed = time.time() - t0
+            history.add(config, result["objs"], elapsed)
+            scored.append((result["objs"][0], config))
+            if verbose:
+                objs = history.trials[-1].objs
+                print(
+                    f"rung {rung} ({epochs} epochs): acc={-objs[0]:.4f} "
+                    f"time={objs[1]:.3f}s config={config}"
+                )
+        if len(configs) == 1:
+            break
+        scored.sort(key=lambda t: t[0])  # objs[0] = -acc: best first
+        configs = [c for _, c in scored[: max(len(configs) // eta, 1)]]
+        epochs *= eta
+        rung += 1
+    return history
+
+
 def run_nas(
     configer: ConfigManager,
     max_runs: int,

@@ -48,3 +48,19 @@ def test_nas_loop_evolutionary():
     assert -best.objs[0] > 0.5
     assert len(history.pareto_front()) >= 1
     assert "best acc" in history.summary()
+
+
+def test_nas_successive_halving():
+    from sgl_tpu.search import run_sha
+
+    configer = ConfigManager(arch=[2, 1, 0, 1, 0, 0, 0], prop_steps=(1, 3),
+                             num_layers=(1, 2), post_steps=(0, 2))
+    configer._setParameters(DS, None, 16, epochs=4, lr=0.05, wd=5e-5, restarts=1)
+    history = run_sha(
+        configer, n_configs=4, eta=2, min_epochs=2, seed=0, verbose=False
+    )
+    # rungs: 4 @ 2 epochs + 2 @ 4 epochs + 1 @ 8 epochs = 7 trials
+    assert len(history.trials) == 7
+    assert -history.best_accuracy_trial.objs[0] > 0.5
+    # the epoch override must not leak out of the driver
+    assert configer._epochs == 4
