@@ -352,3 +352,44 @@ def test_correct_and_smooth_parity(g, autoscale):
     np.testing.assert_allclose(
         np.asarray(got_s), want_s.numpy(), rtol=1e-4, atol=1e-5
     )
+
+
+def test_adam_l2_matches_torch_adam():
+    """adam_l2 must reproduce torch.optim.Adam's weight_decay semantics
+    (L2 into the gradient BEFORE the moments) step for step — every task's
+    training dynamics depend on this."""
+    import optax
+
+    from sgl_tpu.tasks.utils import adam_l2
+
+    rng = np.random.default_rng(3)
+    w0 = rng.normal(size=(6, 4)).astype(np.float32)
+    xs = rng.normal(size=(8, 20, 6)).astype(np.float32)
+    ys = rng.normal(size=(8, 20, 4)).astype(np.float32)
+    lr, wd = 0.05, 1e-2
+
+    # torch side
+    wt = torch.nn.Parameter(torch.tensor(w0.copy()))
+    opt = torch.optim.Adam([wt], lr=lr, weight_decay=wd)
+    for x, y in zip(xs, ys):
+        opt.zero_grad()
+        loss = ((torch.tensor(x) @ wt - torch.tensor(y)) ** 2).mean()
+        loss.backward()
+        opt.step()
+
+    # ours
+    tx = adam_l2(lr, wd)
+    params = jnp.asarray(w0.copy())
+    opt_state = tx.init(params)
+
+    def loss_fn(w, x, y):
+        return jnp.mean((x @ w - y) ** 2)
+
+    for x, y in zip(xs, ys):
+        grads = jax.grad(loss_fn)(params, jnp.asarray(x), jnp.asarray(y))
+        updates, opt_state = tx.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+
+    np.testing.assert_allclose(
+        np.asarray(params), wt.detach().numpy(), rtol=2e-4, atol=2e-5
+    )
