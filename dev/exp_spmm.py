@@ -447,6 +447,71 @@ def run_micro3():
         log(f"gather[{name}]: {per*1e3:.2f} ms -> {per/e*1e9:.3f} ns/row")
 
 
+def run_micro4():
+    """Full spmm_pallas pipeline with different gather constructions,
+    interleaved min-slope (tunnel-noise-robust)."""
+    import dataclasses as dc
+
+    import jax
+    import jax.numpy as jnp
+
+    import sgl_tpu.kernels.pallas_spmm as ps
+    from sgl_tpu.kernels.sparse import spmm_segment
+
+    g, adj = make_graph()
+    nnz = int(np.sum(np.asarray(adj.w) != 0))
+    x = jnp.asarray(g.x)
+    ref = spmm_segment(adj, x)
+    ch = ps.prepare_chunked(adj)
+    log(f"graph: {g.num_nodes} nodes, {nnz} nnz, d={x.shape[1]}")
+
+    def make_impl(gather):
+        def impl(a, xx):
+            d = xx.shape[1]
+            d_pad = ps._round_up(d, 128)
+            xp = xx if d_pad == d else jnp.pad(xx, ((0, 0), (0, d_pad - d)))
+            msgs = gather(xp, a.src).astype(jnp.float32) * a.w[:, None]
+            hi = msgs.astype(jnp.bfloat16)
+            lo = (msgs - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+            out = ps._segment_reduce_mxu(
+                hi, lo, a.dst, a.chunk_tile, num_nodes=a.num_nodes
+            )
+            return a.apply_extras(xx, out[:, :d]).astype(xx.dtype)
+
+        return impl
+
+    configs = {
+        "take(clip)": make_impl(lambda xp, i: jnp.take(xp, i, axis=0)),
+        "bracket": make_impl(lambda xp, i: xp[i]),
+        "pib": make_impl(
+            lambda xp, i: xp.at[i].get(mode="promise_in_bounds")
+        ),
+    }
+
+    for name, fn in configs.items():
+        out = fn(ch, x)
+        err = float(jnp.max(jnp.abs(out - ref)) / (jnp.max(jnp.abs(ref)) + 1e-30))
+        log(f"  {name}: err {err:.1e}")
+
+    def make_run(fn, k):
+        f_k = jax.jit(
+            lambda a, xx: jax.lax.fori_loop(0, k, lambda i, y: fn(a, y), xx)[0, 0]
+        )
+        return lambda: f_k(ch, x)
+
+    best = {name: np.inf for name in configs}
+    k1, k2 = 6, 16
+    for rnd in range(3):
+        for name, fn in configs.items():
+            t1 = timed(make_run(fn, k1), iters=2, reduce=np.min)
+            t2 = timed(make_run(fn, k2), iters=2, reduce=np.min)
+            best[name] = min(best[name], (t2 - t1) / (k2 - k1))
+        log(f"-- round {rnd}: " + "  ".join(
+            f"{n}={v*1e3:.2f}ms" for n, v in best.items()))
+    for name, per in best.items():
+        log(f"spmm[{name}]: {per*1e3:.2f} ms/hop -> {nnz/per/1e9:.3f} G edges/s")
+
+
 def run_chunk_sweep():
     import jax
     import jax.numpy as jnp
@@ -556,6 +621,78 @@ def run_split_perf():
         log(f"spmm[{name}]: {per*1e3:.2f} ms/hop -> {nnz/per/1e9:.3f} G edges/s")
 
 
+def run_micro5():
+    """Hub-matmul precision: HIGHEST vs DEFAULT vs manual 3-pass hi/lo."""
+    import jax
+    import jax.numpy as jnp
+
+    import sgl_tpu.kernels.pallas_spmm as ps
+    from sgl_tpu.kernels.sparse import spmm_segment
+
+    g, adj = make_graph()
+    nnz = int(np.sum(np.asarray(adj.w) != 0))
+    x = jnp.asarray(g.x)
+    ref = spmm_segment(adj, x)
+    ch = ps.prepare_chunked(adj)
+    log(f"graph: {g.num_nodes} nodes, {nnz} nnz, hubs="
+        f"{None if ch.hub_ids is None else ch.hub_ids.shape[0]}")
+
+    def make_impl(hub_mode):
+        def impl(a, xx):
+            d = xx.shape[1]
+            d_pad = ps._round_up(d, 128)
+            xp = xx if d_pad == d else jnp.pad(xx, ((0, 0), (0, d_pad - d)))
+            msgs = jnp.take(xp, a.src, axis=0).astype(jnp.float32) * a.w[:, None]
+            hi = msgs.astype(jnp.bfloat16)
+            lo = (msgs - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+            out = ps._segment_reduce_mxu(
+                hi, lo, a.dst, a.chunk_tile, num_nodes=a.num_nodes
+            )[:, :d]
+            y = out + a.diag[:, None] * xx
+            xh = jnp.take(xx, a.hub_ids, axis=0).astype(jnp.float32)
+            if hub_mode == "highest":
+                y = y + jax.lax.dot(a.hub_m, xh, precision=jax.lax.Precision.HIGHEST)
+            elif hub_mode == "default":
+                y = y + jax.lax.dot(a.hub_m, xh)
+            elif hub_mode == "high":
+                y = y + jax.lax.dot(a.hub_m, xh, precision=jax.lax.Precision.HIGH)
+            elif hub_mode == "3pass":
+                mh = a.hub_m.astype(jnp.bfloat16)
+                ml = (a.hub_m - mh.astype(jnp.float32)).astype(jnp.bfloat16)
+                xhh = xh.astype(jnp.bfloat16)
+                xhl = (xh - xhh.astype(jnp.float32)).astype(jnp.bfloat16)
+                f32 = jnp.float32
+                dot = lambda p, q: jax.lax.dot(p, q, preferred_element_type=f32)
+                y = y + dot(mh, xhh) + dot(mh, xhl) + dot(ml, xhh)
+            return y.astype(xx.dtype)
+
+        return impl
+
+    configs = {m: make_impl(m) for m in ("highest", "high", "default")}
+    for name, fn in configs.items():
+        out = fn(ch, x)
+        err = float(jnp.max(jnp.abs(out - ref)) / (jnp.max(jnp.abs(ref)) + 1e-30))
+        log(f"  {name}: err {err:.1e}")
+
+    def make_run(fn, k):
+        f_k = jax.jit(
+            lambda a, xx: jax.lax.fori_loop(0, k, lambda i, y: fn(a, y), xx)[0, 0]
+        )
+        return lambda: f_k(ch, x)
+
+    best = {name: np.inf for name in configs}
+    k1, k2 = 6, 16
+    for rnd in range(3):
+        for name, fn in configs.items():
+            t1 = timed(make_run(fn, k1), iters=2, reduce=np.min)
+            t2 = timed(make_run(fn, k2), iters=2, reduce=np.min)
+            best[name] = min(best[name], (t2 - t1) / (k2 - k1))
+        log(f"-- round {rnd}: " + "  ".join(
+            f"{n}={v*1e3:.2f}ms" for n, v in best.items()))
+    for name, per in best.items():
+        log(f"spmm[hub={name}]: {per*1e3:.2f} ms/hop -> {nnz/per/1e9:.3f} G edges/s")
+
+
 if __name__ == "__main__":
     args = set(sys.argv[1:]) or {"--check"}
     import jax
@@ -569,6 +706,10 @@ if __name__ == "__main__":
         run_micro2()
     if "--micro3" in args:
         run_micro3()
+    if "--micro4" in args:
+        run_micro4()
+    if "--micro5" in args:
+        run_micro5()
     if "--perf" in args:
         run_perf()
     if "--sweep" in args:

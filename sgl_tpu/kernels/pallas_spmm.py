@@ -132,9 +132,16 @@ class ChunkedAdj:
             y = y + self.diag[:, None].astype(y.dtype) * x.astype(y.dtype)
         if self.hub_ids is not None:
             xh = jnp.take(x, self.hub_ids, axis=0).astype(jnp.float32)
-            y = y + jax.lax.dot(
-                self.hub_m, xh, precision=jax.lax.Precision.HIGHEST
-            ).astype(y.dtype)
+            # HIGH (3-pass bf16) measures the same end-to-end error as
+            # HIGHEST (the message path's ~2^-16 dominates) at -0.4 ms/hop;
+            # bf16 inputs take DEFAULT (one pass) — its rounding is below
+            # the input quantization, -0.9 ms/hop (dev/exp_spmm --micro5)
+            prec = (
+                jax.lax.Precision.DEFAULT
+                if x.dtype == jnp.bfloat16
+                else jax.lax.Precision.HIGH
+            )
+            y = y + jax.lax.dot(self.hub_m, xh, precision=prec).astype(y.dtype)
         return y
 
     def extras_transpose_vjp(self, g: jnp.ndarray) -> jnp.ndarray:
@@ -146,7 +153,7 @@ class ChunkedAdj:
             dh = jax.lax.dot(
                 self.hub_m.T,
                 g.astype(jnp.float32),
-                precision=jax.lax.Precision.HIGHEST,
+                precision=jax.lax.Precision.HIGH,
             ).astype(g.dtype)
             dx = dx.at[self.hub_ids].add(dh)
         return dx
