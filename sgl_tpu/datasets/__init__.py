@@ -1,6 +1,7 @@
-from sgl_tpu.datasets.base import NodeDataset, HeteroNodeDataset, random_split
+from sgl_tpu.datasets.base import GraphDataset, NodeDataset, HeteroNodeDataset, random_split
 from sgl_tpu.datasets.synthetic import (
     PlantedPartition,
+    SyntheticGraphClassification,
     random_power_law_graph,
     synthetic_hetero,
     SyntheticHeteroDataset,

@@ -254,9 +254,88 @@ def random_split(
 
 
 class GraphDataset:
-    """Graph-level task datasets — unimplemented stub, mirroring the
-    reference's empty ``GraphDataset`` (``sgl/data/base_dataset.py:124-126``);
-    SGAP targets node-level tasks."""
+    """Graph-level dataset: a list of :class:`Graph` with per-graph labels.
 
-    def __init__(self, *args, **kwargs):
-        raise NotImplementedError("graph-level tasks are not implemented")
+    The reference leaves this an empty stub
+    (``sgl/data/base_dataset.py:124-126``); here it is implemented with the
+    same download→process→cache lifecycle as :class:`NodeDataset`.
+    Subclasses provide ``_process() -> (List[Graph], labels)``; the batched
+    block-diagonal form (one big graph + segment ids, see
+    ``sgl_tpu.graph.batch``) is built lazily and reused.
+    """
+
+    def __init__(self, name: str, root: str = "./data/", use_cache: bool = True):
+        self.name = name
+        self.root = os.path.join(root, name)
+        self.raw_dir = os.path.join(self.root, "raw")
+        self.processed_dir = os.path.join(self.root, "processed")
+        self.graphs = None
+        self.y = None
+        self.train_idx = None
+        self.val_idx = None
+        self.test_idx = None
+        self._use_cache = use_cache
+        self._batch = None
+        self._preprocess()
+        self._split()
+
+    @property
+    def processed_path(self) -> str:
+        return os.path.join(self.processed_dir, f"{self.name}.graphs.pkl")
+
+    def _preprocess(self) -> None:
+        if self._use_cache and os.path.exists(self.processed_path):
+            with open(self.processed_path, "rb") as f:
+                self.graphs, self.y = pickle.load(f)
+            return
+        if not self._raw_exists():
+            self._download()
+        self.graphs, self.y = self._process()
+        self.y = np.asarray(self.y)
+        if self._use_cache:
+            os.makedirs(self.processed_dir, exist_ok=True)
+            tmp = self.processed_path + ".tmp"
+            with open(tmp, "wb") as f:
+                pickle.dump((self.graphs, self.y), f)
+            os.replace(tmp, self.processed_path)
+
+    def _raw_exists(self) -> bool:
+        return os.path.isdir(self.raw_dir) and bool(os.listdir(self.raw_dir))
+
+    def _download(self) -> None:
+        raise IOError(
+            f"raw files for dataset {self.name!r} not found under "
+            f"{self.raw_dir} and this environment has no network access; "
+            "place the raw files there manually"
+        )
+
+    def _process(self):
+        raise NotImplementedError
+
+    def _split(self) -> None:
+        self.train_idx, self.val_idx, self.test_idx = random_split(
+            self.num_graphs, 0.6, 0.2, seed=0
+        )
+
+    def batch(self):
+        """Block-diagonal :class:`~sgl_tpu.graph.batch.GraphBatch` of all
+        graphs (built once, cached)."""
+        if self._batch is None:
+            from sgl_tpu.graph.batch import batch_graphs
+
+            self._batch = batch_graphs(self.graphs, y=self.y)
+        return self._batch
+
+    # -- accessors -----------------------------------------------------------
+    @property
+    def num_graphs(self) -> int:
+        return len(self.graphs)
+
+    @property
+    def num_features(self) -> int:
+        return self.graphs[0].num_features
+
+    @property
+    def num_classes(self) -> int:
+        y = np.asarray(self.y)
+        return int(y.max()) + 1 if y.ndim == 1 else y.shape[1]

@@ -12,7 +12,12 @@ from __future__ import annotations
 
 import numpy as np
 
-from sgl_tpu.datasets.base import HeteroNodeDataset, NodeDataset, random_split
+from sgl_tpu.datasets.base import (
+    GraphDataset,
+    HeteroNodeDataset,
+    NodeDataset,
+    random_split,
+)
 from sgl_tpu.graph.graph import Graph, HeteroGraph
 
 
@@ -159,3 +164,62 @@ def synthetic_hetero(
     ).astype(np.float32)
     y_dict = {"paper": y}
     return HeteroGraph.build(counts, edges, x_dict=x_dict, y_dict=y_dict)
+
+
+class SyntheticGraphClassification(GraphDataset):
+    """Graph-classification dataset where the signal is STRUCTURAL: classes
+    differ only in edge density, while per-node features are class-agnostic
+    (a constant column + noise).  Hop-0 readouts are therefore at chance;
+    any accuracy above it must come through propagation — the graph-level
+    analog of :class:`PlantedPartition`'s recoverability guarantee.
+    """
+
+    def __init__(
+        self,
+        num_graphs: int = 200,
+        num_classes: int = 2,
+        nodes_per_graph=(20, 40),
+        feat_dim: int = 8,
+        base_p: float = 0.08,
+        seed: int = 0,
+    ):
+        self._g = num_graphs
+        self._c = num_classes
+        self._nrange = nodes_per_graph
+        self._d = feat_dim
+        self._base_p = base_p
+        self._seed = seed
+        super().__init__(name=f"synth_graphs_{num_graphs}_{seed}", use_cache=False)
+
+    def _raw_exists(self) -> bool:
+        return True
+
+    def _process(self):
+        rng = np.random.default_rng(self._seed)
+        graphs, ys = [], []
+        lo, hi = self._nrange
+        for _ in range(self._g):
+            y = int(rng.integers(0, self._c))
+            n = int(rng.integers(lo, hi + 1))
+            p = self._base_p * (1 + 2 * y)  # density encodes the class
+            upper = np.triu(rng.random((n, n)) < p, k=1)
+            s, t = np.nonzero(upper)
+            src = np.concatenate([s, t]).astype(np.int32)
+            dst = np.concatenate([t, s]).astype(np.int32)
+            x = np.concatenate(
+                [
+                    np.ones((n, 1), np.float32),
+                    rng.normal(size=(n, self._d - 1)).astype(np.float32),
+                ],
+                axis=1,
+            )
+            graphs.append(
+                Graph.from_coo(src, dst, num_nodes=n, x=x, pad_multiple=64)
+            )
+            ys.append(y)
+        return graphs, np.asarray(ys, np.int64)
+
+    def _split(self) -> None:
+        self.train_idx, self.val_idx, self.test_idx = random_split(
+            self._g, 0.5, 0.25, seed=self._seed
+        )

@@ -29,3 +29,10 @@ from sgl_tpu.models.hetero import (
     NARS_SIGN,
     Fast_NARS_SGC_WithLearnableWeights,
 )
+from sgl_tpu.models.graph_level import (
+    GraphLevelSGAPModel,
+    GraphReadoutNet,
+    GraphSGC,
+    GraphSIGN,
+    segment_readout,
+)

@@ -1,4 +1,5 @@
 from sgl_tpu.tasks.node_classification import NodeClassification
+from sgl_tpu.tasks.graph_classification import GraphClassification
 from sgl_tpu.tasks.correct_and_smooth import (
     NodeClassificationWithCorrectAndSmooth,
     NodeClassification_With_CorrectAndSmooth,

@@ -90,7 +90,17 @@ def test_2_3_message_ops():
 def test_2_4_data_structures():
     _has("sgl_tpu.graph", "Graph", "HeteroGraph", "Node", "Edge", "from_scipy", "to_scipy")
     _has("sgl_tpu.datasets", "NodeDataset", "HeteroNodeDataset", "random_split")
-    _has("sgl_tpu.datasets.base", "GraphDataset")  # stub, parity with reference
+    # implemented beyond the reference's empty stub
+    _has("sgl_tpu.datasets.base", "GraphDataset")
+    _has("sgl_tpu.graph", "GraphBatch", "batch_graphs")
+    _has(
+        "sgl_tpu.models",
+        "GraphLevelSGAPModel",
+        "GraphSGC",
+        "GraphSIGN",
+        "segment_readout",
+    )
+    _has("sgl_tpu.tasks", "GraphClassification")
     from sgl_tpu.datasets.base import HeteroNodeDataset as H
 
     for m in ("sample_by_edge_type", "sample_by_meta_path", "nars_preprocess"):
