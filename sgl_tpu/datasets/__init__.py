@@ -38,4 +38,5 @@ from sgl_tpu.datasets.hetero_datasets import (
     Imdb,
     Aminer,
 )
+from sgl_tpu.datasets.tu_dataset import TUDataset
 from sgl_tpu.datasets.custom import Custom_Homo, Custom_Hetero
