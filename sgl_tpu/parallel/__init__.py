@@ -1,4 +1,4 @@
-from sgl_tpu.parallel.mesh import make_mesh, data_sharding, replicated
+from sgl_tpu.parallel.mesh import init_distributed, make_mesh, data_sharding, replicated
 from sgl_tpu.parallel.spmm_dist import (
     DistAdj,
     DistChunkedAdj,

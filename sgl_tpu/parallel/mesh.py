@@ -37,6 +37,38 @@ def make_mesh(
     return Mesh(devices.reshape(shape), axis_names=tuple(axis_names))
 
 
+def init_distributed(
+    coordinator_address: Optional[str] = None,
+    num_processes: Optional[int] = None,
+    process_id: Optional[int] = None,
+    **kwargs,
+) -> bool:
+    """Multi-host bootstrap: wraps ``jax.distributed.initialize``.
+
+    Returns True when initialization ran.  With no explicit arguments it
+    initializes only when a coordinator is configured in the environment
+    (``JAX_COORDINATOR_ADDRESS``, or a TPU-pod metadata environment where
+    auto-detection works — indicated by ``TPU_WORKER_HOSTNAMES``); plain
+    single-process runs no-op, so the same script works on a laptop and a
+    pod slice unchanged.
+    """
+    import os
+
+    explicit = coordinator_address is not None
+    if not explicit and not (
+        os.environ.get("JAX_COORDINATOR_ADDRESS")
+        or os.environ.get("TPU_WORKER_HOSTNAMES")
+    ):
+        return False
+    jax.distributed.initialize(
+        coordinator_address=coordinator_address,
+        num_processes=num_processes,
+        process_id=process_id,
+        **kwargs,
+    )
+    return True
+
+
 def data_sharding(mesh: Mesh, axis: str = "data") -> NamedSharding:
     """Batch-dim sharding over every mesh axis used for data parallelism."""
     return NamedSharding(mesh, PartitionSpec(axis))

@@ -184,3 +184,11 @@ def test_dist_nas_inner_loop():
     )._execute()
     assert acc > 0.6, acc
     assert elapsed > 0
+
+
+def test_init_distributed_noop_single_process(monkeypatch):
+    from sgl_tpu.parallel import init_distributed
+
+    monkeypatch.delenv("JAX_COORDINATOR_ADDRESS", raising=False)
+    monkeypatch.delenv("TPU_WORKER_HOSTNAMES", raising=False)
+    assert init_distributed() is False  # same script runs unchanged solo
