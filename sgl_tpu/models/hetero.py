@@ -103,7 +103,7 @@ class _HeteroPreprocessMixin:
         hg = dataset.data
         predict_start = hg.offset[predict_class]
         n_pred = hg.num_node[predict_class]
-        per_subgraph = []
+        kept = []
         for key, value in subgraph_list:
             endpoints = set()
             for et in key:
@@ -111,12 +111,27 @@ class _HeteroPreprocessMixin:
                 endpoints.update((parts[0], parts[-1]))
             if predict_class not in endpoints:
                 continue
-            graph, feature, node_id = value
-            hops = self.pre_graph_op.propagate(graph, feature)  # (K+1, N_sub, D)
-            start = int(np.searchsorted(np.asarray(node_id), predict_start))
-            per_subgraph.append(hops[:, start : start + n_pred, :])
-        if not per_subgraph:
+            kept.append(value)
+        if not kept:
             raise ValueError("no sampled subgraph touches the predict class")
+        # ONE block-diagonal propagation for all subgraphs (one compilation,
+        # one SpMM pipeline per hop) instead of a per-subgraph loop whose
+        # differing node counts would each recompile the scan.  Block-
+        # diagonal symmetric normalization equals per-block normalization,
+        # so the result is identical to per-subgraph propagation (tested).
+        from sgl_tpu.graph.batch import batch_graphs
+
+        batch = batch_graphs(
+            [g.replace(x=np.asarray(f)) for g, f, _ in kept]
+        )
+        hops = self.pre_graph_op.propagate(batch.graph, batch.graph.x)
+        offsets = np.concatenate([[0], np.cumsum(batch.node_counts)])
+        per_subgraph = []
+        for (graph, feature, node_id), off in zip(kept, offsets[:-1]):
+            start = int(off) + int(
+                np.searchsorted(np.asarray(node_id), predict_start)
+            )
+            per_subgraph.append(hops[:, start : start + n_pred, :])
         # (K+1, S, N_pred, D)
         return jnp.stack(per_subgraph, axis=1)
 

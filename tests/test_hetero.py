@@ -116,3 +116,40 @@ def test_hetero_search_grid():
         )
     assert set(res) == {(2, 2), (1, 2)}
     assert all(0.0 <= v <= 1.0 for v in res.values())
+
+
+def test_batched_subgraph_propagation_matches_per_subgraph():
+    """The block-diagonal NARS precompute must equal per-subgraph loops."""
+    import jax.numpy as jnp
+
+    from sgl_tpu.datasets.synthetic import SyntheticHeteroDataset
+    from sgl_tpu.models.hetero import _HeteroPreprocessMixin
+    from sgl_tpu.ops import LaplacianGraphOp
+
+    ds = SyntheticHeteroDataset(seed=5)
+    sub_dict = ds.nars_preprocess(ds.edge_types, "paper", 3, 2, seed=7)
+    subgraph_list = list(sub_dict.items())
+
+    mixin = _HeteroPreprocessMixin()
+    mixin.pre_graph_op = LaplacianGraphOp(2, r=0.5)
+    got = np.asarray(
+        mixin._propagate_subgraphs(ds, "paper", subgraph_list=subgraph_list)
+    )
+
+    hg = ds.data
+    predict_start = hg.offset["paper"]
+    n_pred = hg.num_node["paper"]
+    op = LaplacianGraphOp(2, r=0.5)
+    wants = []
+    for key, (graph, feature, node_id) in subgraph_list:
+        endpoints = set()
+        for et in key:
+            parts = et.split("__")
+            endpoints.update((parts[0], parts[-1]))
+        if "paper" not in endpoints:
+            continue
+        hops = op.propagate(graph, feature)
+        start = int(np.searchsorted(np.asarray(node_id), predict_start))
+        wants.append(np.asarray(hops[:, start : start + n_pred, :]))
+    want = np.stack(wants, axis=1)
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
