@@ -1,4 +1,4 @@
-from sgl_tpu.kernels.sparse import SparseAdj, spmm, sddmm, spmm_segment, set_default_backend
+from sgl_tpu.kernels.sparse import SparseAdj, spmm, sddmm, spmm_segment, spmm_multi, set_default_backend
 from sgl_tpu.kernels.pallas_spmm import ChunkedAdj, prepare_chunked, spmm_pallas
 
 __all__ = [
@@ -8,6 +8,7 @@ __all__ = [
     "spmm",
     "sddmm",
     "spmm_segment",
+    "spmm_multi",
     "spmm_pallas",
     "set_default_backend",
 ]

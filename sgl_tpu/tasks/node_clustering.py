@@ -173,18 +173,52 @@ def nafs_smooth_features(
     ('simple' = last hop of the first r, no weighting).
     """
     x = jnp.asarray(x, jnp.float32)
-    per_r = []
-    for r in r_list:
-        adj = symmetric_normalized_weights(graph, r=r)
-        hops_arr = k_hop_propagate(adj, x, hops)  # (hops+1, N, D)
-        if method == "simple":
-            return hops_arr[-1]
-        ref_norm = jnp.linalg.norm(x, axis=1) + 1e-10
-        norms = jnp.linalg.norm(hops_arr, axis=-1) + 1e-10  # (K+1, N)
-        cos = jnp.einsum("nd,knd->kn", x, hops_arr) / (norms * ref_norm[None])
-        w = jax.nn.softmax(cos, axis=0)
-        per_r.append(jnp.einsum("kn,knd->nd", w, hops_arr))
-    stack = jnp.stack(per_r)  # (R, N, D)
+    if method == "simple":
+        adj = symmetric_normalized_weights(graph, r=r_list[0])
+        return k_hop_propagate(adj, x, hops)[-1]
+
+    # All r share the edge structure, so the whole ensemble propagates as
+    # ONE multi-weight SpMM per hop (the per-edge row gather is payload-
+    # size-independent — R features cost the same gather as one), and the
+    # softmax-over-hops weighting runs ONLINE inside the scan: exp(cos) is
+    # bounded (cos ∈ [-1, 1]), so accumulating numerator/denominator is the
+    # exact softmax without materializing the (K+1, R, N, D) hop stack.
+    from sgl_tpu.kernels.sparse import spmm_multi
+
+    adjs = [symmetric_normalized_weights(graph, r=r) for r in r_list]
+    n_r = len(adjs)
+    ref_norm = jnp.linalg.norm(x, axis=1) + 1e-10  # (N,)
+
+    @jax.jit
+    def smooth(ws, x):
+        adj_list = [
+            type(adjs[0])(adjs[0].src, adjs[0].dst, w, adjs[0].num_nodes,
+                          adjs[0].sorted_by_dst)
+            for w in ws
+        ]
+        h0 = jnp.broadcast_to(x[None], (n_r, *x.shape))
+
+        def weight_of(h):
+            norms = jnp.linalg.norm(h, axis=-1) + 1e-10  # (R, N)
+            cos = jnp.einsum("nd,rnd->rn", x, h) / (norms * ref_norm[None])
+            return jnp.exp(cos)
+
+        e0 = weight_of(h0)
+        num0 = e0[..., None] * h0
+        den0 = e0
+
+        def step(carry, _):
+            h, num, den = carry
+            h = spmm_multi(adj_list, h)
+            e = weight_of(h)
+            return (h, num + e[..., None] * h, den + e), None
+
+        (h, num, den), _ = jax.lax.scan(
+            step, (h0, num0, den0), None, length=hops
+        )
+        return num / den[..., None]
+
+    stack = smooth([a.w for a in adjs], x)  # (R, N, D)
     if method == "mean":
         return stack.mean(axis=0)
     if method == "max":

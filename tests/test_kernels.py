@@ -225,3 +225,34 @@ def test_streaming_spmm_bf16_single_pass():
     np.testing.assert_allclose(
         np.asarray(got, np.float32), want, rtol=0, atol=2e-2 * scale
     )
+
+
+def test_spmm_multi_matches_per_r():
+    """One multi-weight pass == R independent SpMMs (shared structure)."""
+    import jax.numpy as jnp
+
+    from sgl_tpu.graph import symmetric_normalized_weights
+    from sgl_tpu.kernels import spmm
+    from sgl_tpu.kernels.sparse import spmm_multi
+    from tests.conftest import random_graph
+
+    g = random_graph(n=150, avg_deg=7, d=9, seed=11)
+    r_list = (0.5, 0.3, 0.0)
+    adjs = [symmetric_normalized_weights(g, r=r) for r in r_list]
+    x = jnp.asarray(
+        np.random.default_rng(1).normal(size=(150, 9)).astype(np.float32)
+    )
+    got = np.asarray(spmm_multi(adjs, x))
+    for i, adj in enumerate(adjs):
+        np.testing.assert_allclose(
+            got[i], np.asarray(spmm(adj, x)), rtol=1e-4, atol=1e-5
+        )
+    # distinct x per r
+    xs = jnp.asarray(
+        np.random.default_rng(2).normal(size=(3, 150, 9)).astype(np.float32)
+    )
+    got = np.asarray(spmm_multi(adjs, xs))
+    for i, adj in enumerate(adjs):
+        np.testing.assert_allclose(
+            got[i], np.asarray(spmm(adj, xs[i])), rtol=1e-4, atol=1e-5
+        )

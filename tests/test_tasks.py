@@ -149,3 +149,36 @@ def test_predictor_bucketing():
     logits = pred.predict(np.arange(DS.num_node))
     acc = (logits.argmax(1) == np.asarray(DS.y))[np.asarray(DS.test_idx)].mean()
     assert acc > 0.8
+
+
+def test_nafs_online_softmax_matches_stacked():
+    """The online multi-r smoother == the straightforward per-r formulation."""
+    import jax
+    import jax.numpy as jnp
+
+    from sgl_tpu.graph import symmetric_normalized_weights
+    from sgl_tpu.ops.graph_ops import k_hop_propagate
+    from sgl_tpu.tasks import nafs_smooth_features
+    from tests.conftest import random_graph
+
+    g = random_graph(n=120, avg_deg=6, d=8, seed=4)
+    x = jnp.asarray(np.asarray(g.x), jnp.float32)
+    hops, r_list = 5, (0.5, 0.2)
+    for method in ("mean", "max", "concat"):
+        got = np.asarray(nafs_smooth_features(g, x, hops, r_list, method))
+        per_r = []
+        for r in r_list:
+            adj = symmetric_normalized_weights(g, r=r)
+            hops_arr = k_hop_propagate(adj, x, hops)
+            ref_norm = jnp.linalg.norm(x, axis=1) + 1e-10
+            norms = jnp.linalg.norm(hops_arr, axis=-1) + 1e-10
+            cos = jnp.einsum("nd,knd->kn", x, hops_arr) / (norms * ref_norm[None])
+            w = jax.nn.softmax(cos, axis=0)
+            per_r.append(jnp.einsum("kn,knd->nd", w, hops_arr))
+        stack = jnp.stack(per_r)
+        want = {
+            "mean": stack.mean(axis=0),
+            "max": stack.max(axis=0),
+            "concat": jnp.moveaxis(stack, 0, 1).reshape(stack.shape[1], -1),
+        }[method]
+        np.testing.assert_allclose(got, np.asarray(want), rtol=2e-4, atol=2e-5)
