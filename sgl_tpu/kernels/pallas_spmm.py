@@ -435,6 +435,54 @@ def _spmm_pallas_impl(adj: ChunkedAdj, x: jnp.ndarray, interpret: bool = False) 
     return adj.apply_extras(x, out[:, :d]).astype(x.dtype)
 
 
+def prepare_chunked_multi(adjs):
+    """Chunk layout for R adjacencies sharing (src, dst) with different
+    weights (e.g. one graph under several normalization exponents).
+
+    Returns ``(struct, w_stack)``: one :class:`ChunkedAdj` carrying the
+    shared structure and an ``(R, E')`` weight stack in the same edge
+    layout.  diag/hub splits are disabled — their dense carriers would be
+    per-r.  Use with :func:`spmm_pallas_multi`.
+    """
+    chs = [
+        prepare_chunked(a, split_diag=False, hub_k=0) for a in adjs
+    ]  # identical structure: prepare_chunked is deterministic in (src, dst)
+    return chs[0], jnp.stack([c.w for c in chs])
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def spmm_pallas_multi(
+    struct: ChunkedAdj, w_stack: jnp.ndarray, x: jnp.ndarray, interpret: bool = False
+) -> jnp.ndarray:
+    """R simultaneous SpMMs over shared structure: ``y[r] = A_r @ x[r]``.
+
+    The per-edge feature-row gather is payload-size-independent (measured
+    ~3.5 ns/row on v5e for 256 B–1 KB rows), so gathering all R feature
+    blocks as one ``(N, R·D)`` row costs the same as one block — and the
+    scatter side runs through the one-hot MXU kernel, whose cost is
+    bandwidth-proportional (unlike XLA's payload-bound ``segment_sum``,
+    which loses 2.3x when stacked this way — measured).
+    """
+    r, n, d = x.shape
+    d_pad = _round_up(d, 128)
+    xp = x if d_pad == d else jnp.pad(x, ((0, 0), (0, 0), (0, d_pad - d)))
+    xs = jnp.moveaxis(xp, 0, 1).reshape(n, r * d_pad)
+    msgs = jnp.take(xs, struct.src, axis=0).astype(jnp.float32)
+    msgs = msgs.reshape(-1, r, d_pad) * w_stack.T[:, :, None]
+    msgs = msgs.reshape(-1, r * d_pad)
+    hi = msgs.astype(jnp.bfloat16)
+    if x.dtype == jnp.bfloat16:
+        lo = None
+    else:
+        lo = (msgs - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    out = _segment_reduce_mxu(
+        hi, lo, struct.dst, struct.chunk_tile,
+        num_nodes=struct.num_nodes, interpret=interpret,
+    )
+    out = out[:n].reshape(n, r, d_pad)[:, :, :d]
+    return jnp.moveaxis(out, 1, 0).astype(x.dtype)
+
+
 @jax.tree_util.register_pytree_node_class
 @dataclasses.dataclass(frozen=True)
 class ChunkedPart:

@@ -189,13 +189,32 @@ def nafs_smooth_features(
     n_r = len(adjs)
     ref_norm = jnp.linalg.norm(x, axis=1) + 1e-10  # (N,)
 
+    # scatter backend: the one-hot MXU kernel on accelerators (XLA's
+    # segment_sum is payload-bound and loses 2.3x on the R-stacked rows),
+    # plain segment_sum on CPU
+    use_pallas = jax.default_backend() not in ("cpu",)
+    if use_pallas:
+        from sgl_tpu.kernels.pallas_spmm import (
+            prepare_chunked_multi,
+            spmm_pallas_multi,
+        )
+
+        struct, w_stack = prepare_chunked_multi(adjs)
+        prop = lambda ws, h: spmm_pallas_multi(struct, ws, h)
+        w_arg = w_stack
+    else:
+        def prop(ws, h):
+            adj_list = [
+                type(adjs[0])(adjs[0].src, adjs[0].dst, w, adjs[0].num_nodes,
+                              adjs[0].sorted_by_dst)
+                for w in ws
+            ]
+            return spmm_multi(adj_list, h)
+
+        w_arg = [a.w for a in adjs]
+
     @jax.jit
     def smooth(ws, x):
-        adj_list = [
-            type(adjs[0])(adjs[0].src, adjs[0].dst, w, adjs[0].num_nodes,
-                          adjs[0].sorted_by_dst)
-            for w in ws
-        ]
         h0 = jnp.broadcast_to(x[None], (n_r, *x.shape))
 
         def weight_of(h):
@@ -209,7 +228,7 @@ def nafs_smooth_features(
 
         def step(carry, _):
             h, num, den = carry
-            h = spmm_multi(adj_list, h)
+            h = prop(ws, h)
             e = weight_of(h)
             return (h, num + e[..., None] * h, den + e), None
 
@@ -218,7 +237,7 @@ def nafs_smooth_features(
         )
         return num / den[..., None]
 
-    stack = smooth([a.w for a in adjs], x)  # (R, N, D)
+    stack = smooth(w_arg, x)  # (R, N, D)
     if method == "mean":
         return stack.mean(axis=0)
     if method == "max":

@@ -256,3 +256,25 @@ def test_spmm_multi_matches_per_r():
         np.testing.assert_allclose(
             got[i], np.asarray(spmm(adj, xs[i])), rtol=1e-4, atol=1e-5
         )
+
+
+def test_spmm_pallas_multi_interpret_matches_segment_multi():
+    import jax.numpy as jnp
+
+    from sgl_tpu.graph import symmetric_normalized_weights
+    from sgl_tpu.kernels.pallas_spmm import (
+        prepare_chunked_multi,
+        spmm_pallas_multi,
+    )
+    from sgl_tpu.kernels.sparse import spmm_multi
+    from tests.conftest import random_graph
+
+    g = random_graph(n=200, avg_deg=6, d=10, seed=21)
+    adjs = [symmetric_normalized_weights(g, r=r) for r in (0.5, 0.1)]
+    xs = jnp.asarray(
+        np.random.default_rng(3).normal(size=(2, 200, 10)).astype(np.float32)
+    )
+    struct, w_stack = prepare_chunked_multi(adjs)
+    got = np.asarray(spmm_pallas_multi(struct, w_stack, xs, interpret=True))
+    want = np.asarray(spmm_multi(adjs, xs))
+    np.testing.assert_allclose(got, want, rtol=2e-3, atol=2e-4)
