@@ -8,6 +8,7 @@ from sgl_tpu.tasks.node_clustering import (
     NodeClustering,
     NodeClusteringNAFS,
     nafs_smooth_features,
+    nafs_smooth_sweep,
 )
 from sgl_tpu.tasks.link_prediction import (
     LinkPredictionGAE,

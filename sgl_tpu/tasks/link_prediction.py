@@ -30,7 +30,7 @@ from sklearn.metrics import average_precision_score, roc_auc_score
 from sgl_tpu.graph.graph import Graph
 from sgl_tpu.tasks.base_task import BaseTask
 from sgl_tpu.tasks.node_classification import _make_apply
-from sgl_tpu.tasks.node_clustering import nafs_smooth_features
+from sgl_tpu.tasks.node_clustering import nafs_smooth_features, nafs_smooth_sweep
 from sgl_tpu.tasks.utils import (
     TrainState,
     adam_l2,
@@ -282,11 +282,10 @@ class LinkPredictionNAFS(BaseTask):
             print("Edge split finished!")
         best_auc, best_ap = 0.0, 0.0
         best_hop_auc, best_hop_ap = 0, 0
-        for hop in self._hops:
-            t = time.time()
-            z = nafs_smooth_features(
-                train_graph, ds.x, hop, self._r_list, self._method
-            )
+        t = time.time()
+        for hop, z in nafs_smooth_sweep(
+            train_graph, ds.x, self._hops, self._r_list, self._method
+        ):
             auc, ap = _auc_ap(z, te_pos, te_neg)
             if self._verbose:
                 print(
@@ -297,6 +296,7 @@ class LinkPredictionNAFS(BaseTask):
                 best_auc, best_hop_auc = auc, hop
             if ap > best_ap:
                 best_ap, best_hop_ap = ap, hop
+            t = time.time()
         if self._verbose:
             print(
                 f"best_roc_auc_score: {best_auc:.4f}, "

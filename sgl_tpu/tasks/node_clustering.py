@@ -19,6 +19,7 @@ import optax
 from sklearn.cluster import KMeans
 
 from sgl_tpu.graph.normalize import symmetric_normalized_weights
+from sgl_tpu.kernels.sparse import spmm
 from sgl_tpu.ops.graph_ops import k_hop_propagate
 from sgl_tpu.tasks.base_task import BaseTask
 from sgl_tpu.tasks.clustering_metrics import clustering_metrics
@@ -162,36 +163,30 @@ class NodeClustering(BaseTask):
         return tuple(best)
 
 
-def nafs_smooth_features(
-    graph, x, hops: int, r_list: Sequence[float], method: str
-) -> jnp.ndarray:
-    """NAFS hop-adaptive smoothing with an r-ensemble, vectorized
-    (reference loops at ``node_clustering.py:205-252`` / ``link_prediction.py:233-280``).
+def _nafs_machine(graph, x, r_list: Sequence[float]):
+    """Shared NAFS machinery: multi-r propagation + online hop softmax.
 
-    For each r: propagate ``hops`` steps, weight hops per node by softmaxed
-    cosine similarity to hop 0; then ensemble over r by mean/max/concat
-    ('simple' = last hop of the first r, no weighting).
+    All r share the edge structure, so the whole ensemble propagates as
+    ONE multi-weight SpMM per hop (the per-edge row gather is payload-
+    size-independent — R feature blocks cost the same gather as one), and
+    the softmax-over-hops weighting runs ONLINE: exp(cos) is bounded
+    (cos ∈ [-1, 1]), so accumulating numerator/denominator is the exact
+    softmax without materializing the (K+1, R, N, D) hop stack.
+
+    Scatter backend: the one-hot MXU kernel on accelerators (XLA's
+    ``segment_sum`` is payload-bound and loses 2.3x on the R-stacked
+    rows — measured); plain segment_sum on CPU.
+
+    Returns ``(w_arg, init_carry, step)`` where
+    ``step(ws, (h, num, den)) -> (h', num', den')`` advances one hop.
     """
-    x = jnp.asarray(x, jnp.float32)
-    if method == "simple":
-        adj = symmetric_normalized_weights(graph, r=r_list[0])
-        return k_hop_propagate(adj, x, hops)[-1]
-
-    # All r share the edge structure, so the whole ensemble propagates as
-    # ONE multi-weight SpMM per hop (the per-edge row gather is payload-
-    # size-independent — R features cost the same gather as one), and the
-    # softmax-over-hops weighting runs ONLINE inside the scan: exp(cos) is
-    # bounded (cos ∈ [-1, 1]), so accumulating numerator/denominator is the
-    # exact softmax without materializing the (K+1, R, N, D) hop stack.
     from sgl_tpu.kernels.sparse import spmm_multi
 
+    x = jnp.asarray(x, jnp.float32)
     adjs = [symmetric_normalized_weights(graph, r=r) for r in r_list]
     n_r = len(adjs)
     ref_norm = jnp.linalg.norm(x, axis=1) + 1e-10  # (N,)
 
-    # scatter backend: the one-hot MXU kernel on accelerators (XLA's
-    # segment_sum is payload-bound and loses 2.3x on the R-stacked rows),
-    # plain segment_sum on CPU
     use_pallas = jax.default_backend() not in ("cpu",)
     if use_pallas:
         from sgl_tpu.kernels.pallas_spmm import (
@@ -213,31 +208,25 @@ def nafs_smooth_features(
 
         w_arg = [a.w for a in adjs]
 
-    @jax.jit
-    def smooth(ws, x):
-        h0 = jnp.broadcast_to(x[None], (n_r, *x.shape))
+    def weight_of(h):
+        norms = jnp.linalg.norm(h, axis=-1) + 1e-10  # (R, N)
+        cos = jnp.einsum("nd,rnd->rn", x, h) / (norms * ref_norm[None])
+        return jnp.exp(cos)
 
-        def weight_of(h):
-            norms = jnp.linalg.norm(h, axis=-1) + 1e-10  # (R, N)
-            cos = jnp.einsum("nd,rnd->rn", x, h) / (norms * ref_norm[None])
-            return jnp.exp(cos)
+    h0 = jnp.broadcast_to(x[None], (n_r, *x.shape))
+    e0 = weight_of(h0)
+    init_carry = (h0, e0[..., None] * h0, e0)
 
-        e0 = weight_of(h0)
-        num0 = e0[..., None] * h0
-        den0 = e0
+    def step(ws, carry):
+        h, num, den = carry
+        h = prop(ws, h)
+        e = weight_of(h)
+        return h, num + e[..., None] * h, den + e
 
-        def step(carry, _):
-            h, num, den = carry
-            h = prop(ws, h)
-            e = weight_of(h)
-            return (h, num + e[..., None] * h, den + e), None
+    return w_arg, init_carry, step
 
-        (h, num, den), _ = jax.lax.scan(
-            step, (h0, num0, den0), None, length=hops
-        )
-        return num / den[..., None]
 
-    stack = smooth(w_arg, x)  # (R, N, D)
+def _nafs_ensemble(stack: jnp.ndarray, method: str) -> jnp.ndarray:
     if method == "mean":
         return stack.mean(axis=0)
     if method == "max":
@@ -245,6 +234,67 @@ def nafs_smooth_features(
     if method == "concat":
         return jnp.moveaxis(stack, 0, 1).reshape(stack.shape[1], -1)
     raise ValueError("Method not Suppoted! Choose 'mean', 'max' or 'concat' !")
+
+
+def nafs_smooth_features(
+    graph, x, hops: int, r_list: Sequence[float], method: str
+) -> jnp.ndarray:
+    """NAFS hop-adaptive smoothing with an r-ensemble, vectorized
+    (reference loops at ``node_clustering.py:205-252`` / ``link_prediction.py:233-280``).
+
+    For each r: propagate ``hops`` steps, weight hops per node by softmaxed
+    cosine similarity to hop 0; then ensemble over r by mean/max/concat
+    ('simple' = last hop of the first r, no weighting).
+    """
+    x = jnp.asarray(x, jnp.float32)
+    if method == "simple":
+        adj = symmetric_normalized_weights(graph, r=r_list[0])
+        return k_hop_propagate(adj, x, hops)[-1]
+
+    w_arg, init_carry, step = _nafs_machine(graph, x, r_list)
+
+    @jax.jit
+    def smooth(ws, carry):
+        def body(c, _):
+            return step(ws, c), None
+
+        (h, num, den), _ = jax.lax.scan(body, carry, None, length=hops)
+        return num / den[..., None]
+
+    return _nafs_ensemble(smooth(w_arg, init_carry), method)
+
+
+def nafs_smooth_sweep(graph, x, hops, r_list: Sequence[float], method: str):
+    """Yield ``(hop, smoothed_features)`` for every requested hop count,
+    sharing propagation across the sweep.
+
+    Hop ``h+1``'s online-softmax accumulators extend hop ``h``'s, so a
+    sweep over ``hops`` costs ``max(hops)`` SpMM steps total instead of
+    ``sum(hops)`` (the NAFS tasks sweep 0..19: 19 steps instead of 190),
+    with ONE compiled step function instead of one scan per hop count.
+    """
+    hops = sorted({int(h) for h in hops})
+    if method == "simple":
+        adj = symmetric_normalized_weights(graph, r=r_list[0])
+        h = jnp.asarray(x, jnp.float32)
+        one = jax.jit(lambda h: spmm(adj, h))
+        cur = 0
+        for target in hops:
+            while cur < target:
+                h = one(h)
+                cur += 1
+            yield target, h
+        return
+
+    w_arg, carry, step = _nafs_machine(graph, x, r_list)
+    jit_step = jax.jit(step)
+    out_of = jax.jit(lambda c: _nafs_ensemble(c[1] / c[2][..., None], method))
+    cur = 0
+    for target in hops:
+        while cur < target:
+            carry = jit_step(w_arg, carry)
+            cur += 1
+        yield target, out_of(carry)
 
 
 class NodeClusteringNAFS(BaseTask):
@@ -295,11 +345,10 @@ class NodeClusteringNAFS(BaseTask):
         ds = self._dataset
         labels = np.asarray(ds.y).reshape(-1)
         best = {"acc": (0, 0.0), "nmi": (0, 0.0), "ari": (0, 0.0)}
-        for hop in self._hops:
-            t = time.time()
-            feats = nafs_smooth_features(
-                ds.graph, ds.x, hop, self._r_list, self._method
-            )
+        t = time.time()
+        for hop, feats in nafs_smooth_sweep(
+            ds.graph, ds.x, self._hops, self._r_list, self._method
+        ):
             km = KMeans(
                 n_clusters=self._n_clusters,
                 n_init=self._n_init,
@@ -317,6 +366,7 @@ class NodeClusteringNAFS(BaseTask):
             for key, v in zip(("acc", "nmi", "ari"), (acc, nmi, ari)):
                 if v > best[key][1]:
                     best[key] = (hop, v)
+            t = time.time()
         return (
             best["acc"][0],
             best["nmi"][0],

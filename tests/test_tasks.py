@@ -182,3 +182,18 @@ def test_nafs_online_softmax_matches_stacked():
             "concat": jnp.moveaxis(stack, 0, 1).reshape(stack.shape[1], -1),
         }[method]
         np.testing.assert_allclose(got, np.asarray(want), rtol=2e-4, atol=2e-5)
+
+
+def test_nafs_sweep_matches_single_shot():
+    """Each sweep emission equals an independent nafs_smooth_features call."""
+    from sgl_tpu.tasks import nafs_smooth_features, nafs_smooth_sweep
+    from tests.conftest import random_graph
+
+    g = random_graph(n=90, avg_deg=5, d=7, seed=9)
+    r_list = (0.5, 0.2)
+    for method in ("mean", "concat", "simple"):
+        for hop, feats in nafs_smooth_sweep(g, g.x, [0, 2, 4], r_list, method):
+            want = nafs_smooth_features(g, g.x, hop, r_list, method)
+            np.testing.assert_allclose(
+                np.asarray(feats), np.asarray(want), rtol=2e-4, atol=2e-5
+            )
