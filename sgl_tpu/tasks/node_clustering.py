@@ -276,6 +276,10 @@ def nafs_smooth_sweep(graph, x, hops, r_list: Sequence[float], method: str):
     hops = sorted({int(h) for h in hops})
     if method == "simple":
         adj = symmetric_normalized_weights(graph, r=r_list[0])
+        if jax.default_backend() not in ("cpu",):
+            from sgl_tpu.kernels.pallas_spmm import prepare_chunked
+
+            adj = prepare_chunked(adj)
         h = jnp.asarray(x, jnp.float32)
         one = jax.jit(lambda h: spmm(adj, h))
         cur = 0
