@@ -177,15 +177,22 @@ def _nafs_machine(graph, x, r_list: Sequence[float]):
     ``segment_sum`` is payload-bound and loses 2.3x on the R-stacked
     rows — measured); plain segment_sum on CPU.
 
-    Returns ``(w_arg, init_carry, step)`` where
-    ``step(ws, (h, num, den)) -> (h', num', den')`` advances one hop.
+    Returns ``(w_arg, xref, init_carry, step)`` where
+    ``step(ws, xref, (h, num, den)) -> (h', num', den')`` advances one hop.
+    Every array (adjacency, reference features) is threaded through as a
+    jit ARGUMENT, never a closure — closing over them would constant-fold
+    megabytes of edge data into every compiled program (measured pitfall,
+    see CLAUDE.md).
     """
-    from sgl_tpu.kernels.sparse import spmm_multi
+    from sgl_tpu.kernels.sparse import SparseAdj, spmm_multi
 
     x = jnp.asarray(x, jnp.float32)
     adjs = [symmetric_normalized_weights(graph, r=r) for r in r_list]
     n_r = len(adjs)
+    num_nodes = adjs[0].num_nodes
+    sorted_by_dst = adjs[0].sorted_by_dst
     ref_norm = jnp.linalg.norm(x, axis=1) + 1e-10  # (N,)
+    xref = (x, ref_norm)
 
     use_pallas = jax.default_backend() not in ("cpu",)
     if use_pallas:
@@ -195,35 +202,36 @@ def _nafs_machine(graph, x, r_list: Sequence[float]):
         )
 
         struct, w_stack = prepare_chunked_multi(adjs)
-        prop = lambda ws, h: spmm_pallas_multi(struct, ws, h)
-        w_arg = w_stack
+        prop = lambda ws, h: spmm_pallas_multi(ws[0], ws[1], h)
+        w_arg = (struct, w_stack)
     else:
         def prop(ws, h):
+            src, dst, w_list = ws
             adj_list = [
-                type(adjs[0])(adjs[0].src, adjs[0].dst, w, adjs[0].num_nodes,
-                              adjs[0].sorted_by_dst)
-                for w in ws
+                SparseAdj(src, dst, w, num_nodes, sorted_by_dst)
+                for w in w_list
             ]
             return spmm_multi(adj_list, h)
 
-        w_arg = [a.w for a in adjs]
+        w_arg = (adjs[0].src, adjs[0].dst, [a.w for a in adjs])
 
-    def weight_of(h):
+    def weight_of(xr, h):
+        x0, rn = xr
         norms = jnp.linalg.norm(h, axis=-1) + 1e-10  # (R, N)
-        cos = jnp.einsum("nd,rnd->rn", x, h) / (norms * ref_norm[None])
+        cos = jnp.einsum("nd,rnd->rn", x0, h) / (norms * rn[None])
         return jnp.exp(cos)
 
     h0 = jnp.broadcast_to(x[None], (n_r, *x.shape))
-    e0 = weight_of(h0)
+    e0 = weight_of(xref, h0)
     init_carry = (h0, e0[..., None] * h0, e0)
 
-    def step(ws, carry):
+    def step(ws, xr, carry):
         h, num, den = carry
         h = prop(ws, h)
-        e = weight_of(h)
+        e = weight_of(xr, h)
         return h, num + e[..., None] * h, den + e
 
-    return w_arg, init_carry, step
+    return w_arg, xref, init_carry, step
 
 
 def _nafs_ensemble(stack: jnp.ndarray, method: str) -> jnp.ndarray:
@@ -251,17 +259,17 @@ def nafs_smooth_features(
         adj = symmetric_normalized_weights(graph, r=r_list[0])
         return k_hop_propagate(adj, x, hops)[-1]
 
-    w_arg, init_carry, step = _nafs_machine(graph, x, r_list)
+    w_arg, xref, init_carry, step = _nafs_machine(graph, x, r_list)
 
     @jax.jit
-    def smooth(ws, carry):
+    def smooth(ws, xr, carry):
         def body(c, _):
-            return step(ws, c), None
+            return step(ws, xr, c), None
 
         (h, num, den), _ = jax.lax.scan(body, carry, None, length=hops)
         return num / den[..., None]
 
-    return _nafs_ensemble(smooth(w_arg, init_carry), method)
+    return _nafs_ensemble(smooth(w_arg, xref, init_carry), method)
 
 
 def nafs_smooth_sweep(graph, x, hops, r_list: Sequence[float], method: str):
@@ -290,13 +298,13 @@ def nafs_smooth_sweep(graph, x, hops, r_list: Sequence[float], method: str):
             yield target, h
         return
 
-    w_arg, carry, step = _nafs_machine(graph, x, r_list)
+    w_arg, xref, carry, step = _nafs_machine(graph, x, r_list)
     jit_step = jax.jit(step)
     out_of = jax.jit(lambda c: _nafs_ensemble(c[1] / c[2][..., None], method))
     cur = 0
     for target in hops:
         while cur < target:
-            carry = jit_step(w_arg, carry)
+            carry = jit_step(w_arg, xref, carry)
             cur += 1
         yield target, out_of(carry)
 
