@@ -9,6 +9,7 @@ one jitted k-hop scan).
 
 from __future__ import annotations
 
+import functools
 import time
 from typing import Sequence
 
@@ -163,6 +164,76 @@ class NodeClustering(BaseTask):
         return tuple(best)
 
 
+def _nafs_weight_of(xr, h):
+    x0, rn = xr
+    norms = jnp.linalg.norm(h, axis=-1) + 1e-10  # (R, N)
+    cos = jnp.einsum("nd,rnd->rn", x0, h) / (norms * rn[None])
+    return jnp.exp(cos)
+
+
+def _nafs_prop_pallas(ws, h):
+    # per-r kernels with diag/hub splits: measured 2.9x faster than one
+    # wide multi-weight kernel (splits remove 40% of gathered rows and the
+    # narrow d=128 kernel pipelines better than d=R*128) and 3x faster
+    # than per-r segment_sum (dev log 2026-08-19, 50k nodes / 1M edges)
+    from sgl_tpu.kernels.pallas_spmm import spmm_pallas
+
+    return jnp.stack([spmm_pallas(ch, h[i]) for i, ch in enumerate(ws)])
+
+
+def _nafs_prop_segment(ws, h, sorted_by_dst: bool = True):
+    # inline multi-weight gather + segment_sum (one gather for all r)
+    src, dst, w_stack = ws
+    r, n, d = h.shape
+    xs = jnp.moveaxis(h, 0, 1).reshape(n, r * d)
+    gathered = jnp.take(xs, src, axis=0)
+    msgs = gathered.reshape(-1, r, d) * w_stack.T[:, :, None]
+    y = jax.ops.segment_sum(
+        msgs.reshape(-1, r * d),
+        dst,
+        num_segments=n,
+        indices_are_sorted=sorted_by_dst,
+    )
+    return jnp.moveaxis(y.reshape(n, r, d), 1, 0)
+
+
+def _nafs_step(prop, ws, xr, carry):
+    h, num, den = carry
+    h = prop(ws, h)
+    e = _nafs_weight_of(xr, h)
+    return h, num + e[..., None] * h, den + e
+
+
+# module-level jits: cached across calls (a per-call closure jit would
+# recompile every invocation — measured 5x regression)
+@jax.jit
+def _nafs_step_pallas(ws, xr, carry):
+    return _nafs_step(_nafs_prop_pallas, ws, xr, carry)
+
+
+@functools.partial(jax.jit, static_argnames=("sorted_by_dst",))
+def _nafs_step_segment(ws, xr, carry, sorted_by_dst: bool = True):
+    prop = functools.partial(_nafs_prop_segment, sorted_by_dst=sorted_by_dst)
+    return _nafs_step(prop, ws, xr, carry)
+
+
+@functools.partial(jax.jit, static_argnames=("hops", "pallas", "sorted_by_dst"))
+def _nafs_smooth_scan(ws, xr, carry, hops: int, pallas: bool, sorted_by_dst: bool = True):
+    if pallas:
+        prop = _nafs_prop_pallas
+    else:
+        prop = functools.partial(_nafs_prop_segment, sorted_by_dst=sorted_by_dst)
+
+    def body(c, _):
+        return _nafs_step(prop, ws, xr, c), None
+
+    (h, num, den), _ = jax.lax.scan(body, carry, None, length=hops)
+    return num / den[..., None]
+
+
+_MACHINE_CACHE: list = []  # [(graph_ref, r_key, use_pallas, w_arg)]
+
+
 def _nafs_machine(graph, x, r_list: Sequence[float]):
     """Shared NAFS machinery: multi-r propagation + online hop softmax.
 
@@ -173,65 +244,54 @@ def _nafs_machine(graph, x, r_list: Sequence[float]):
     (cos ∈ [-1, 1]), so accumulating numerator/denominator is the exact
     softmax without materializing the (K+1, R, N, D) hop stack.
 
-    Scatter backend: the one-hot MXU kernel on accelerators (XLA's
-    ``segment_sum`` is payload-bound and loses 2.3x on the R-stacked
-    rows — measured); plain segment_sum on CPU.
+    Scatter backend on accelerators: one diag/hub-split one-hot MXU
+    kernel per r (measured fastest — see ``_nafs_prop_pallas``); CPU uses
+    the shared-gather multi-weight segment path.
 
-    Returns ``(w_arg, xref, init_carry, step)`` where
-    ``step(ws, xref, (h, num, den)) -> (h', num', den')`` advances one hop.
-    Every array (adjacency, reference features) is threaded through as a
-    jit ARGUMENT, never a closure — closing over them would constant-fold
-    megabytes of edge data into every compiled program (measured pitfall,
-    see CLAUDE.md).
+    Returns ``(use_pallas, w_arg, xref, init_carry)`` — on the segment
+    path ``w_arg`` is ``((src, dst, w_stack), sorted_by_dst)``.  The prepared
+    adjacency is cached per (graph, r_list) — preparation is host-side
+    and worth reusing across sweep hops and repeated calls.  Every array
+    is threaded through jit as an ARGUMENT, never a closure (a closure
+    would constant-fold megabytes of edge data into the program).
     """
-    from sgl_tpu.kernels.sparse import SparseAdj, spmm_multi
+    import weakref
 
     x = jnp.asarray(x, jnp.float32)
-    adjs = [symmetric_normalized_weights(graph, r=r) for r in r_list]
-    n_r = len(adjs)
-    num_nodes = adjs[0].num_nodes
-    sorted_by_dst = adjs[0].sorted_by_dst
+    r_key = tuple(float(r) for r in r_list)
+    use_pallas = jax.default_backend() not in ("cpu",)
+
+    w_arg = None
+    for ref, key, pal, cached in _MACHINE_CACHE:
+        if ref() is graph and key == r_key and pal == use_pallas:
+            w_arg = cached
+            break
+    if w_arg is None:
+        adjs = [symmetric_normalized_weights(graph, r=r) for r in r_list]
+        if use_pallas:
+            from sgl_tpu.kernels.pallas_spmm import prepare_chunked
+
+            w_arg = tuple(prepare_chunked(a) for a in adjs)
+        else:
+            w_arg = (
+                adjs[0].src,
+                adjs[0].dst,
+                jnp.stack([a.w for a in adjs]),
+            )
+            srt = bool(adjs[0].sorted_by_dst)
+            w_arg = (w_arg, srt)
+        _MACHINE_CACHE.append((weakref.ref(graph), r_key, use_pallas, w_arg))
+        del _MACHINE_CACHE[:-4]  # keep the cache tiny
+
     ref_norm = jnp.linalg.norm(x, axis=1) + 1e-10  # (N,)
     xref = (x, ref_norm)
-
-    use_pallas = jax.default_backend() not in ("cpu",)
-    if use_pallas:
-        from sgl_tpu.kernels.pallas_spmm import (
-            prepare_chunked_multi,
-            spmm_pallas_multi,
-        )
-
-        struct, w_stack = prepare_chunked_multi(adjs)
-        prop = lambda ws, h: spmm_pallas_multi(ws[0], ws[1], h)
-        w_arg = (struct, w_stack)
-    else:
-        def prop(ws, h):
-            src, dst, w_list = ws
-            adj_list = [
-                SparseAdj(src, dst, w, num_nodes, sorted_by_dst)
-                for w in w_list
-            ]
-            return spmm_multi(adj_list, h)
-
-        w_arg = (adjs[0].src, adjs[0].dst, [a.w for a in adjs])
-
-    def weight_of(xr, h):
-        x0, rn = xr
-        norms = jnp.linalg.norm(h, axis=-1) + 1e-10  # (R, N)
-        cos = jnp.einsum("nd,rnd->rn", x0, h) / (norms * rn[None])
-        return jnp.exp(cos)
-
-    h0 = jnp.broadcast_to(x[None], (n_r, *x.shape))
-    e0 = weight_of(xref, h0)
+    h0 = jnp.broadcast_to(x[None], (len(r_list), *x.shape))
+    e0 = _nafs_weight_of(xref, h0)
     init_carry = (h0, e0[..., None] * h0, e0)
+    return use_pallas, w_arg, xref, init_carry
 
-    def step(ws, xr, carry):
-        h, num, den = carry
-        h = prop(ws, h)
-        e = weight_of(xr, h)
-        return h, num + e[..., None] * h, den + e
 
-    return w_arg, xref, init_carry, step
+_NAFS_OUT = {}  # method -> module-level jitted carry->features (cache-stable)
 
 
 def _nafs_ensemble(stack: jnp.ndarray, method: str) -> jnp.ndarray:
@@ -242,6 +302,12 @@ def _nafs_ensemble(stack: jnp.ndarray, method: str) -> jnp.ndarray:
     if method == "concat":
         return jnp.moveaxis(stack, 0, 1).reshape(stack.shape[1], -1)
     raise ValueError("Method not Suppoted! Choose 'mean', 'max' or 'concat' !")
+
+
+for _m in ("mean", "max", "concat"):
+    _NAFS_OUT[_m] = jax.jit(
+        lambda c, _m=_m: _nafs_ensemble(c[1] / c[2][..., None], _m)
+    )
 
 
 def nafs_smooth_features(
@@ -259,17 +325,15 @@ def nafs_smooth_features(
         adj = symmetric_normalized_weights(graph, r=r_list[0])
         return k_hop_propagate(adj, x, hops)[-1]
 
-    w_arg, xref, init_carry, step = _nafs_machine(graph, x, r_list)
-
-    @jax.jit
-    def smooth(ws, xr, carry):
-        def body(c, _):
-            return step(ws, xr, c), None
-
-        (h, num, den), _ = jax.lax.scan(body, carry, None, length=hops)
-        return num / den[..., None]
-
-    return _nafs_ensemble(smooth(w_arg, xref, init_carry), method)
+    use_pallas, w_arg, xref, init_carry = _nafs_machine(graph, x, r_list)
+    if use_pallas:
+        stack = _nafs_smooth_scan(w_arg, xref, init_carry, hops, True)
+    else:
+        ws, srt = w_arg
+        stack = _nafs_smooth_scan(
+            ws, xref, init_carry, hops, False, sorted_by_dst=srt
+        )
+    return _nafs_ensemble(stack, method)
 
 
 def nafs_smooth_sweep(graph, x, hops, r_list: Sequence[float], method: str):
@@ -298,13 +362,17 @@ def nafs_smooth_sweep(graph, x, hops, r_list: Sequence[float], method: str):
             yield target, h
         return
 
-    w_arg, xref, carry, step = _nafs_machine(graph, x, r_list)
-    jit_step = jax.jit(step)
-    out_of = jax.jit(lambda c: _nafs_ensemble(c[1] / c[2][..., None], method))
+    use_pallas, w_arg, xref, carry = _nafs_machine(graph, x, r_list)
+    if use_pallas:
+        jit_step = lambda c: _nafs_step_pallas(w_arg, xref, c)
+    else:
+        ws, srt = w_arg
+        jit_step = lambda c: _nafs_step_segment(ws, xref, c, sorted_by_dst=srt)
+    out_of = _NAFS_OUT[method]
     cur = 0
     for target in hops:
         while cur < target:
-            carry = jit_step(w_arg, xref, carry)
+            carry = jit_step(carry)
             cur += 1
         yield target, out_of(carry)
 
