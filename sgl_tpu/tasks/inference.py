@@ -56,6 +56,47 @@ class Predictor:
         return e / e.sum(axis=1, keepdims=True)
 
 
+    def save(self, path: str) -> None:
+        """Persist the full serving artifact — model structure, trained
+        params, and the precomputed stage-1 features — as one file.  A
+        server process restores it with :meth:`Predictor.load` and serves
+        without touching the graph or re-running the precompute."""
+        import pickle
+
+        m = self._model
+        feats = np.asarray(m.processed_feature)
+        saved_feats = m.processed_feature
+        m.processed_feature = None  # keep the pickle free of device arrays
+        for op in (getattr(m, "pre_graph_op", None), getattr(m, "post_graph_op", None)):
+            # drop weakref'd adjacency caches (unpicklable, rebuilt lazily)
+            if op is not None and getattr(op, "_adj_cache", None) is not None:
+                op._adj_cache = None
+        try:
+            blob = {
+                "model": m,
+                "params": jax.tree.map(np.asarray, self._params),
+                "features": feats,
+            }
+            tmp = path + ".tmp"
+            with open(tmp, "wb") as f:
+                pickle.dump(blob, f)
+            import os
+
+            os.replace(tmp, path)  # atomic, like the dataset cache
+        finally:
+            m.processed_feature = saved_feats
+
+    @classmethod
+    def load(cls, path: str) -> "Predictor":
+        import pickle
+
+        with open(path, "rb") as f:
+            blob = pickle.load(f)
+        model = blob["model"]
+        model.processed_feature = jnp.asarray(blob["features"])
+        return cls(model, jax.tree.map(jnp.asarray, blob["params"]))
+
+
 def predictor_from_task(task) -> Predictor:
     """Build a Predictor from a finished task (uses its final train state)."""
     state = getattr(task, "state", None)

@@ -197,3 +197,27 @@ def test_nafs_sweep_matches_single_shot():
             np.testing.assert_allclose(
                 np.asarray(feats), np.asarray(want), rtol=2e-4, atol=2e-5
             )
+
+
+def test_predictor_save_load_roundtrip(tmp_path):
+    """The serving artifact restores to identical predictions without the
+    graph or a re-precompute."""
+    from sgl_tpu.datasets.synthetic import PlantedPartition
+    from sgl_tpu.models.homo import SGC
+    from sgl_tpu.tasks import NodeClassification, predictor_from_task
+    from sgl_tpu.tasks.inference import Predictor
+
+    ds = PlantedPartition(num_nodes=300)
+    model = SGC(prop_steps=2, feat_dim=ds.num_features, output_dim=ds.num_classes)
+    task = NodeClassification(
+        ds, model, lr=0.1, weight_decay=5e-5, epochs=5, verbose=False
+    )
+    pred = predictor_from_task(task)
+    ids = np.asarray([3, 7, 250, 11])
+    want = pred.predict(ids)
+
+    p = str(tmp_path / "artifact.pkl")
+    pred.save(p)
+    restored = Predictor.load(p)
+    got = restored.predict(ids)
+    np.testing.assert_allclose(got, want, rtol=1e-6, atol=1e-7)
