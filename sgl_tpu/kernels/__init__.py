@@ -1,4 +1,4 @@
-from sgl_tpu.kernels.sparse import SparseAdj, spmm, sddmm, spmm_segment, spmm_multi, set_default_backend
+from sgl_tpu.kernels.sparse import SparseAdj, spmm, sddmm, spmm_segment, spmm_multi, ensure_device_layout, set_default_backend
 from sgl_tpu.kernels.pallas_spmm import ChunkedAdj, prepare_chunked, spmm_pallas
 
 __all__ = [

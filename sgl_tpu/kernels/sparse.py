@@ -110,6 +110,34 @@ def spmm(adj: SparseAdj, x: jnp.ndarray, backend: Optional[str] = None) -> jnp.n
     raise ValueError(f"unknown spmm backend {backend!r}")
 
 
+_LAYOUT_CACHE: list = []  # [(weakref(SparseAdj), ChunkedAdj)]
+
+
+def ensure_device_layout(adj):
+    """Return the Pallas tile-chunk layout for ``adj`` on accelerator
+    backends (cached per adjacency object — the host-side re-layout is
+    worth reusing across hops/iterations), or ``adj`` unchanged on CPU or
+    when it is already a :class:`ChunkedAdj`.
+
+    Use this in task-level code that receives a plain :class:`SparseAdj`
+    (e.g. label propagation, Correct&Smooth) so repeated propagation runs
+    on the fast kernel without each call site re-implementing routing.
+    """
+    import weakref
+
+    from sgl_tpu.kernels.pallas_spmm import ChunkedAdj, prepare_chunked
+
+    if isinstance(adj, ChunkedAdj) or jax.default_backend() in ("cpu",):
+        return adj
+    for ref, chunked in _LAYOUT_CACHE:
+        if ref() is adj:
+            return chunked
+    chunked = prepare_chunked(adj)
+    _LAYOUT_CACHE.append((weakref.ref(adj), chunked))
+    del _LAYOUT_CACHE[:-8]
+    return chunked
+
+
 def spmm_multi(adjs, x: jnp.ndarray) -> jnp.ndarray:
     """R simultaneous SpMMs over the SAME edge structure with different
     weights: ``y[r] = adj_r @ x[r]``.

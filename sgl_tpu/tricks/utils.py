@@ -13,7 +13,7 @@ import jax.numpy as jnp
 
 import numpy as np
 
-from sgl_tpu.kernels.sparse import SparseAdj, spmm
+from sgl_tpu.kernels.sparse import SparseAdj, ensure_device_layout, spmm
 
 
 def loge_cross_entropy_loss(logits, labels, epsilon: float = 1.0 - np.log(2)):
@@ -56,6 +56,7 @@ def label_propagation(
     if jnp.issubdtype(labels.dtype, jnp.integer):
         labels = jax.nn.one_hot(labels.reshape(-1), int(labels.max()) + 1)
     labels = jnp.asarray(labels, jnp.float32)
+    adj = ensure_device_layout(adj)  # Pallas layout on accelerators (cached)
     out = labels
     if mask is not None:
         out = jnp.zeros_like(labels).at[mask].set(labels[mask])
