@@ -18,6 +18,8 @@ Intentional deviations NOT covered here (documented in PARITY.md):
    expects ``prop_steps`` (argument-order quirk).
 """
 
+import importlib.machinery
+import importlib.util
 import sys
 import types
 
@@ -41,23 +43,42 @@ class _Stub(types.ModuleType):
         return type(name, (), {})
 
 
+_WANT_STUBS = [
+    "torch_geometric",
+    "torch_geometric.datasets",
+    "torch_geometric.data",
+    "torch_geometric.io",
+    "ogb",
+    "ogb.nodeproppred",
+    "munkres",
+    "gensim",
+    "gensim.models",
+    "networkx",
+    "torch_sparse",
+    "googledrivedownloader",
+    "pandas",
+]
+
+# Stub ONLY packages that are genuinely absent (decided for the top-level
+# name BEFORE any stub is installed — find_spec would otherwise see our own
+# parent stub and skip the submodules).  Stubbing installed packages
+# (networkx, pandas) poisons the whole pytest session: this module is
+# imported at collection, so every later test sees the stub.  Stubs also
+# carry a real ModuleSpec — torch._dynamo probes ``find_spec('networkx')``
+# and raises on modules whose __spec__ is None.
+_missing_tops = {
+    top
+    for top in {m.split(".")[0] for m in _WANT_STUBS}
+    if importlib.util.find_spec(top) is None
+}
+
 try:
-    for _m in [
-        "torch_geometric",
-        "torch_geometric.datasets",
-        "torch_geometric.data",
-        "torch_geometric.io",
-        "ogb",
-        "ogb.nodeproppred",
-        "munkres",
-        "gensim",
-        "gensim.models",
-        "networkx",
-        "torch_sparse",
-        "googledrivedownloader",
-        "pandas",
-    ]:
-        sys.modules.setdefault(_m, _Stub(_m))
+    for _m in _WANT_STUBS:
+        if _m.split(".")[0] not in _missing_tops:
+            continue
+        mod = _Stub(_m)
+        mod.__spec__ = importlib.machinery.ModuleSpec(_m, None)
+        sys.modules.setdefault(_m, mod)
     # Importing sgl.models first trips a circular import between
     # sgl.data.base_dataset and sgl.dataset.__init__ — load datasets first.
     import sgl.dataset  # noqa: F401
@@ -144,7 +165,19 @@ def _copy_block(ref_mod):
     return out
 
 
+def _randomize_prelus(ref_model):
+    """Move every PReLU slope off torch's constant 0.25 init so the copied-
+    param comparison actually exercises the shared-slope handling (a wrong
+    param read or missing cast would pass at the default)."""
+    gen = torch.Generator().manual_seed(7)
+    with torch.no_grad():
+        for m in ref_model.modules():
+            if isinstance(m, torch.nn.PReLU):
+                m.weight.copy_(torch.rand(m.weight.shape, generator=gen) * 0.8 + 0.05)
+
+
 def _copied_params(ref_model, our_model, g):
+    _randomize_prelus(ref_model)
     our_model.preprocess(g)
     tree = {"base_model": _copy_block(ref_model._base_model)}
     if our_model.pre_msg_learnable:
