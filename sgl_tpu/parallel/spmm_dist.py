@@ -25,6 +25,8 @@ from __future__ import annotations
 
 import dataclasses
 import functools
+import logging
+import warnings
 from typing import Optional
 
 import jax
@@ -35,8 +37,59 @@ from jax.sharding import Mesh, PartitionSpec as P
 from sgl_tpu.kernels.sparse import SparseAdj
 
 
+logger = logging.getLogger(__name__)
+
+
 def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
+
+
+def ring_padding_stats(dadj) -> dict:
+    """Padded-slot accounting for a ring layout (``DistAdj`` or
+    :class:`DistChunkedAdj`).
+
+    Both layouts pad every (owner, source-block) bucket to a common static
+    size — on power-law graphs one hub-heavy bucket inflates all P² buckets
+    (diag/hub splits in the chunked layout pull the worst offenders out of
+    the buckets first).  ``ratio`` = allocated slots / real edges; the SpMM
+    does useless work proportional to it, so it must stay visible rather
+    than silently capping throughput.
+    """
+    w = np.asarray(dadj.w)
+    real = int((w != 0).sum())
+    slots = int(w.size)
+    return {
+        "real_edges": real,
+        "padded_slots": slots,
+        "ratio": slots / max(real, 1),
+    }
+
+
+_PADDING_WARN_RATIO = 2.0
+
+
+def _report_padding(dadj, kind: str) -> None:
+    stats = ring_padding_stats(dadj)
+    logger.info(
+        "%s ring layout: %d real edges in %d slots (%.2fx padding, P=%d)",
+        kind,
+        stats["real_edges"],
+        stats["padded_slots"],
+        stats["ratio"],
+        dadj.num_partitions,
+    )
+    if stats["ratio"] > _PADDING_WARN_RATIO:
+        # P>=16 mitigation sketch: per-owner bucket sizes cannot vary under
+        # SPMD (every device's shard must be shape-equal), but hub-heavy
+        # buckets can be drained further by raising hub_k / lowering the
+        # degree cutoff so the dense-hub matmul absorbs the skew before the
+        # ring layout is padded.
+        warnings.warn(
+            f"{kind} ring buckets are {stats['ratio']:.1f}x padded "
+            f"({stats['padded_slots']} slots for {stats['real_edges']} edges); "
+            "consider a larger hub_k (chunked layout) or fewer partitions",
+            stacklevel=3,
+        )
 
 
 @jax.tree_util.register_pytree_node_class
@@ -102,13 +155,15 @@ def partition_adj(adj: SparseAdj, num_partitions: int, bucket_multiple: int = 8)
     out_src[owner, sblk, pos] = (src - sblk * block).astype(np.int32)
     out_dst[owner, sblk, pos] = (dst - owner * block).astype(np.int32)
     out_w[owner, sblk, pos] = w
-    return DistAdj(
+    out = DistAdj(
         jnp.asarray(out_src),
         jnp.asarray(out_dst),
         jnp.asarray(out_w),
         num_nodes=n,
         block=block,
     )
+    _report_padding(out, "segment")
+    return out
 
 
 def pad_features(x, num_partitions: int, block: Optional[int] = None) -> jnp.ndarray:
@@ -259,7 +314,7 @@ def partition_adj_chunked(
     out_dst[bkt_s, pos] = l_dst_s.astype(np.int32)
     out_w[bkt_s, pos] = w_s
 
-    return DistChunkedAdj(
+    out = DistChunkedAdj(
         jnp.asarray(out_src.reshape(p, p, e_b)),
         jnp.asarray(out_dst.reshape(p, p, e_b)),
         jnp.asarray(out_w.reshape(p, p, e_b)),
@@ -270,6 +325,8 @@ def partition_adj_chunked(
         num_nodes=n,
         block=block,
     )
+    _report_padding(out, "chunked")
+    return out
 
 
 def _round_up_arr_np(x: np.ndarray, m: int) -> np.ndarray:

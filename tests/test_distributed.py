@@ -192,3 +192,34 @@ def test_init_distributed_noop_single_process(monkeypatch):
     monkeypatch.delenv("JAX_COORDINATOR_ADDRESS", raising=False)
     monkeypatch.delenv("TPU_WORKER_HOSTNAMES", raising=False)
     assert init_distributed() is False  # same script runs unchanged solo
+
+
+def test_ring_padding_stats_logged_on_zipf_graph(caplog):
+    """Bucket padding on a power-law (zipf) graph at P=8 must be measured
+    and logged, never silent (the per-bucket pad-to-max layout is the known
+    skew cost — parallel/spmm_dist.py)."""
+    import logging
+
+    from sgl_tpu.graph import Graph, to_undirected
+    from sgl_tpu.parallel import partition_adj_chunked, ring_padding_stats
+
+    rng = np.random.default_rng(31)
+    n, e = 512, 8000
+    # zipf-weighted destination choice -> heavy-hub degree skew
+    wz = 1.0 / np.arange(1, n + 1) ** 1.2
+    wz /= wz.sum()
+    src = rng.integers(0, n, e)
+    dst = rng.choice(n, size=e, p=wz)
+    keep = src != dst
+    g = Graph.from_coo(src[keep], dst[keep], num_nodes=n, pad_multiple=256)
+    g = to_undirected(g)
+    adj = symmetric_normalized_weights(g)
+
+    with caplog.at_level(logging.INFO, logger="sgl_tpu.parallel.spmm_dist"):
+        dadj = partition_adj_chunked(adj, 8, hub_k=16, chunk=64)
+    assert any("ring layout" in r.message for r in caplog.records)
+
+    stats = ring_padding_stats(dadj)
+    assert stats["real_edges"] > 0
+    assert stats["padded_slots"] >= stats["real_edges"]
+    assert stats["ratio"] == stats["padded_slots"] / stats["real_edges"]
