@@ -19,6 +19,28 @@ import numpy as np
 from sgl_tpu.graph.graph import Graph, HeteroGraph
 
 
+def _fetch_raw_urls(ds) -> None:
+    """Shared download bootstrap: fetch every ``raw_urls`` entry into
+    ``raw_dir`` then run the loader's ``_post_download`` hook (archive
+    extraction).  Loaders without a known source (empty ``raw_urls``) raise
+    the clear offline error instead — mirrors the reference behavior where
+    each loader ships its concrete URLs (``sgl/dataset/planetoid.py:34``,
+    ``flickr.py:32``) but without ``exit(1)`` on failure
+    (``sgl/dataset/utils.py:29-35``)."""
+    urls = ds.raw_urls
+    if not urls:
+        raise IOError(
+            f"raw files for dataset {ds.name!r} not found under {ds.raw_dir}, "
+            "and no download source is known for this loader; place the raw "
+            "files there manually"
+        )
+    from sgl_tpu.datasets.utils import download_to
+
+    for fname, url in urls.items():
+        download_to(url, os.path.join(ds.raw_dir, fname))
+    ds._post_download()
+
+
 class NodeDataset:
     """Homogeneous node-level dataset.
 
@@ -63,12 +85,17 @@ class NodeDataset:
     def _raw_exists(self) -> bool:
         return os.path.isdir(self.raw_dir) and bool(os.listdir(self.raw_dir))
 
+    @property
+    def raw_urls(self) -> dict:
+        """``{raw filename: source URL}`` for self-bootstrap; empty when the
+        loader has no known source (user-provided data)."""
+        return {}
+
+    def _post_download(self) -> None:
+        """Hook after raw files land (archive extraction etc.)."""
+
     def _download(self) -> None:
-        raise IOError(
-            f"raw files for dataset {self.name!r} not found under {self.raw_dir} "
-            "and this environment has no network access; place the raw files "
-            "there manually"
-        )
+        _fetch_raw_urls(self)
 
     def _process(self) -> Graph:
         raise NotImplementedError
@@ -150,11 +177,16 @@ class HeteroNodeDataset:
     def _raw_exists(self) -> bool:
         return os.path.isdir(self.raw_dir) and bool(os.listdir(self.raw_dir))
 
+    @property
+    def raw_urls(self) -> dict:
+        """``{raw filename: source URL}``; empty = no known source."""
+        return {}
+
+    def _post_download(self) -> None:
+        """Hook after raw files land (archive extraction etc.)."""
+
     def _download(self) -> None:
-        raise IOError(
-            f"raw files for dataset {self.name!r} not found under {self.raw_dir} "
-            "and this environment has no network access"
-        )
+        _fetch_raw_urls(self)
 
     def _process(self) -> HeteroGraph:
         raise NotImplementedError
@@ -302,12 +334,16 @@ class GraphDataset:
     def _raw_exists(self) -> bool:
         return os.path.isdir(self.raw_dir) and bool(os.listdir(self.raw_dir))
 
+    @property
+    def raw_urls(self) -> dict:
+        """``{raw filename: source URL}``; empty = no known source."""
+        return {}
+
+    def _post_download(self) -> None:
+        """Hook after raw files land (archive extraction etc.)."""
+
     def _download(self) -> None:
-        raise IOError(
-            f"raw files for dataset {self.name!r} not found under "
-            f"{self.raw_dir} and this environment has no network access; "
-            "place the raw files there manually"
-        )
+        _fetch_raw_urls(self)
 
     def _process(self):
         raise NotImplementedError

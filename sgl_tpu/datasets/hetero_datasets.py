@@ -146,7 +146,10 @@ class Dblp(_HGBDataset):
 
 class DblpOriginal(Dblp):
     """Original DBLP release — same schema, different raw dump
-    (reference ``dblp_original.py``)."""
+    (reference ``dblp_original.py``; its zip ships at
+    ``https://www.dropbox.com/s/yh4grpeks87ugr2/DBLP_processed.zip?dl=1``,
+    ``dblp_original.py:39`` — place the extracted ``geometric_data_processed.pt``
+    under ``raw/``; no auto-fetch since our parser reads the HGB .pt form)."""
 
     def __init__(self, root: str = "./data/"):
         _HGBDataset.__init__(self, name="dblp_original", root=root)

@@ -34,6 +34,15 @@ class Amazon(NodeDataset):
     def _raw_exists(self):
         return all(osp.exists(p) for p in self.raw_file_paths)
 
+    @property
+    def raw_urls(self):
+        # reference amazon.py:29 / coauthor.py:29
+        base = "https://github.com/shchur/gnn-benchmark/raw/master/data/npz"
+        return {
+            osp.basename(p): f"{base}/{osp.basename(p)}"
+            for p in self.raw_file_paths
+        }
+
     def _process(self) -> Graph:
         x, src, dst, y = read_npz(self.raw_file_paths[0])
         return Graph.from_coo(src, dst, num_nodes=x.shape[0], x=x, y=y)
@@ -69,6 +78,20 @@ class Reddit(NodeDataset):
 
     def _raw_exists(self):
         return osp.exists(osp.join(self.raw_dir, "reddit_graph.npz"))
+
+    @property
+    def raw_urls(self):
+        # reference reddit.py:36 (zip; extracted below)
+        return {"reddit.zip": "https://data.dgl.ai/dataset/reddit.zip"}
+
+    def _post_download(self) -> None:
+        import os
+        import zipfile
+
+        path = osp.join(self.raw_dir, "reddit.zip")
+        with zipfile.ZipFile(path) as zf:
+            zf.extractall(self.raw_dir)
+        os.unlink(path)
 
     def _process(self) -> Graph:
         adj = sp.load_npz(osp.join(self.raw_dir, "reddit_graph.npz")).tocoo()
@@ -110,6 +133,19 @@ class Flickr(NodeDataset):
     def _raw_exists(self):
         return osp.exists(osp.join(self.raw_dir, "adj_full.npz"))
 
+    # GraphSAINT google-drive ids (reference flickr.py:32-40)
+    _GDRIVE_IDS = {
+        "adj_full.npz": "17qhNA8H1IpbkkR-T2BmPQm8QNW5do-aa",
+        "feats.npy": "10SW8lCvAj-kb6ckkfTOC5y0l8XXdtMxj",
+        "class_map.json": "1LIl4kimLfftj4-7NmValuWyCQE8AaE7P",
+        "role.json": "1npK9xlmbnjNkV80hK2Q68wTEVOFjnt4K",
+    }
+
+    @property
+    def raw_urls(self):
+        url = "https://docs.google.com/uc?export=download&id={}&confirm=t"
+        return {fname: url.format(fid) for fname, fid in self._GDRIVE_IDS.items()}
+
     def _process(self) -> Graph:
         x = np.asarray(np.load(osp.join(self.raw_dir, "feats.npy")), np.float32)
         n = x.shape[0]
@@ -139,6 +175,14 @@ class Flickr(NodeDataset):
 class AmazonProduct(Flickr):
     """GraphSAINT amazon product graph — same layout as Flickr
     (reference ``amazon_product.py``)."""
+
+    # reference amazon_product.py:33-41
+    _GDRIVE_IDS = {
+        "adj_full.npz": "1crmsTbd1-2sEXsGwa2IKnIB7Zd3TmUsy",
+        "feats.npy": "1join-XdvX3anJU_MLVtick7MgeAQiWIZ",
+        "class_map.json": "1uxIkbtg5drHTsKt-PAsZZ4_yJmgFmle9",
+        "role.json": "1htXCtuktuCW8TR8KiKfrFDAxUgekQoV7",
+    }
 
     def __init__(self, root: str = "./data/", split: str = "official"):
         super().__init__(root=root, split=split, name="amazon_product")

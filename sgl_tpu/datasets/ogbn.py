@@ -47,6 +47,31 @@ class Ogbn(NodeDataset):
             [f for f in __import__("os").listdir(d) if f.startswith("edge")]
         )
 
+    @property
+    def raw_urls(self):
+        # where the reference's ogb dependency fetches from
+        # (PygNodePropPredDataset, reference ogbn.py:31-34)
+        zip_name = {"papers100M": "papers100M-bin"}.get(self.name, self.name)
+        return {
+            f"{zip_name}.zip": f"http://snap.stanford.edu/ogb/data/nodeproppred/{zip_name}.zip"
+        }
+
+    def _post_download(self) -> None:
+        """Unzip into the OGB layout: the archive's top-level dir becomes
+        ``ogbn_<name>/`` with raw/ + split/ inside."""
+        import os
+        import shutil
+        import zipfile
+
+        zip_name = {"papers100M": "papers100M-bin"}.get(self.name, self.name)
+        path = osp.join(self.raw_dir, f"{zip_name}.zip")
+        with zipfile.ZipFile(path) as zf:
+            zf.extractall(self.root)
+        os.unlink(path)
+        extracted = osp.join(self.root, zip_name)
+        if osp.isdir(extracted) and not osp.isdir(self.dataset_dir):
+            shutil.move(extracted, self.dataset_dir)
+
     def _read(self, stem: str, dtype):
         raw = osp.join(self.dataset_dir, "raw")
         for ext, reader in (
@@ -104,6 +129,23 @@ class OgbnMag(HeteroNodeDataset):
 
     def _raw_exists(self) -> bool:
         return osp.isdir(osp.join(self.dataset_dir, "raw", "relations"))
+
+    @property
+    def raw_urls(self):
+        return {"mag.zip": "http://snap.stanford.edu/ogb/data/nodeproppred/mag.zip"}
+
+    def _post_download(self) -> None:
+        import os
+        import shutil
+        import zipfile
+
+        path = osp.join(self.raw_dir, "mag.zip")
+        with zipfile.ZipFile(path) as zf:
+            zf.extractall(self.root)
+        os.unlink(path)
+        extracted = osp.join(self.root, "mag")
+        if osp.isdir(extracted) and not osp.isdir(self.dataset_dir):
+            shutil.move(extracted, self.dataset_dir)
 
     def _process(self) -> HeteroGraph:
         import os

@@ -37,6 +37,15 @@ class Planetoid(NodeDataset):
     def _raw_exists(self) -> bool:
         return all(osp.exists(p) for p in self.raw_file_paths)
 
+    @property
+    def raw_urls(self):
+        # reference sgl/dataset/planetoid.py:34-39
+        base = "https://github.com/kimiyoung/planetoid/raw/master/data"
+        return {
+            f"ind.{self.name}.{n}": f"{base}/ind.{self.name}.{n}"
+            for n in self.RAW_NAMES
+        }
+
     def _process(self) -> Graph:
         x, tx, allx, y, ty, ally = [
             pkl_read_file(p) for p in self.raw_file_paths[:6]
@@ -94,6 +103,31 @@ class Nell(Planetoid):
     def __init__(self, name: str = "nell.0.001", root: str = "./data/", split: str = "official"):
         self._split_mode = split
         NodeDataset.__init__(self, name=name, root=osp.join(root, "Nell"))
+
+    @property
+    def raw_urls(self):
+        # reference sgl/dataset/nell.py:36-37 (tarball; extracted below)
+        return {
+            "nell_data.tar.gz": "http://www.cs.cmu.edu/~zhiliny/data/nell_data.tar.gz"
+        }
+
+    def _post_download(self) -> None:
+        """Extract the tarball and hoist this variant's files into raw/
+        (reference ``nell.py:38-49``)."""
+        import os
+        import shutil
+        import tarfile
+
+        tar_path = osp.join(self.raw_dir, "nell_data.tar.gz")
+        with tarfile.open(tar_path) as tf:
+            tf.extractall(self.raw_dir, filter="data")
+        os.unlink(tar_path)
+        extracted = osp.join(self.raw_dir, "nell_data")
+        for root_dir, _, files in os.walk(extracted, topdown=False):
+            for f in files:
+                if self.name in f:
+                    shutil.move(osp.join(root_dir, f), self.raw_dir)
+        shutil.rmtree(extracted, ignore_errors=True)
 
     def _split(self) -> None:
         if self._split_mode == "official":

@@ -45,6 +45,29 @@ class TUDataset(GraphDataset):
     def _file(self, suffix: str) -> str:
         return osp.join(self.raw_dir, f"{self.name}_{suffix}.txt")
 
+    @property
+    def raw_urls(self):
+        # the public TUDataset collection (zip; flattened below)
+        return {
+            f"{self.name}.zip": f"https://www.chrsmrrs.com/graphkerneldatasets/{self.name}.zip"
+        }
+
+    def _post_download(self) -> None:
+        """Unzip and flatten ``<name>/<name>_*.txt`` into raw/."""
+        import os
+        import shutil
+        import zipfile
+
+        path = osp.join(self.raw_dir, f"{self.name}.zip")
+        with zipfile.ZipFile(path) as zf:
+            zf.extractall(self.raw_dir)
+        os.unlink(path)
+        inner = osp.join(self.raw_dir, self.name)
+        if osp.isdir(inner):
+            for f in os.listdir(inner):
+                shutil.move(osp.join(inner, f), self.raw_dir)
+            shutil.rmtree(inner, ignore_errors=True)
+
     def _process(self):
         edges = read_csv_gz(self._file("A"), np.int64) - 1  # to 0-based
         indicator = (

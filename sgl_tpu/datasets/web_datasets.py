@@ -35,6 +35,16 @@ class Actor(NodeDataset):
     def _raw_exists(self):
         return all(osp.exists(p) for p in self.raw_file_paths)
 
+    _GEOM_GCN = "https://raw.githubusercontent.com/graphdml-uiuc-jlu/geom-gcn/master"
+    _GEOM_GCN_DIR = "film"  # reference actor.py:37-43
+
+    @property
+    def raw_urls(self):
+        return {
+            osp.basename(p): f"{self._GEOM_GCN}/new_data/{self._GEOM_GCN_DIR}/{osp.basename(p)}"
+            for p in self.raw_file_paths
+        }
+
     def _parse_features(self):
         with open(self.raw_file_paths[0]) as f:
             rows = [r.split("\t") for r in f.read().split("\n")[1:] if r]
@@ -70,6 +80,10 @@ class WebKB(Actor):
         self._split_mode = split
         NodeDataset.__init__(self, name=name, root=osp.join(root, "webkb"))
 
+    @property
+    def _GEOM_GCN_DIR(self):  # reference webkb.py:40-46
+        return self.name
+
     def _parse_features(self):
         with open(self.raw_file_paths[0]) as f:
             rows = [r.split("\t") for r in f.read().split("\n")[1:] if r]
@@ -100,6 +114,15 @@ class Airports(NodeDataset):
     def _raw_exists(self):
         return all(osp.exists(p) for p in self.raw_file_paths)
 
+    @property
+    def raw_urls(self):
+        # reference airports.py:38-47
+        base = "https://github.com/leoribeiro/struc2vec/raw/master/graph"
+        return {
+            f"{self.name}-airports.edgelist": f"{base}/{self.name}-airports.edgelist",
+            f"labels-{self.name}-airports.txt": f"{base}/labels-{self.name}-airports.txt",
+        }
+
     def _process(self) -> Graph:
         index_map, ys = {}, []
         with open(self.raw_file_paths[1]) as f:
@@ -125,8 +148,15 @@ class Airports(NodeDataset):
 class _MusaeNpz(NodeDataset):
     """graphmining.ai npz layout: edges / features / target."""
 
+    # reference github.py:32 / facebook.py:32 / twitch.py:35
+    _MUSAE_BASE = "https://graphmining.ai/datasets/ptg"
+
     def _raw_exists(self):
         return osp.exists(osp.join(self.raw_dir, f"{self.name}.npz"))
+
+    @property
+    def raw_urls(self):
+        return {f"{self.name}.npz": f"{self._MUSAE_BASE}/{self.name}.npz"}
 
     def _process(self) -> Graph:
         data = np.load(osp.join(self.raw_dir, f"{self.name}.npz"))
@@ -151,6 +181,8 @@ class Facebook(_MusaeNpz):
 
 
 class Twitch(_MusaeNpz):
+    _MUSAE_BASE = "https://graphmining.ai/datasets/ptg/twitch"  # twitch.py:35
+
     def __init__(self, name: str = "EN", root: str = "./data/", split: str = "random"):
         if name not in ("DE", "EN", "ES", "FR", "PT", "RU"):
             raise ValueError("Dataset name not supported!")
@@ -168,6 +200,13 @@ class Wikics(NodeDataset):
 
     def _raw_exists(self):
         return osp.exists(osp.join(self.raw_dir, "data.json"))
+
+    @property
+    def raw_urls(self):
+        # reference wikics.py:40-43
+        return {
+            "data.json": "https://github.com/pmernyei/wiki-cs-dataset/raw/master/dataset/data.json"
+        }
 
     def _process(self) -> Graph:
         with open(osp.join(self.raw_dir, "data.json")) as f:
@@ -209,6 +248,13 @@ class LINKXDataset(NodeDataset):
 
     def _raw_exists(self):
         return osp.exists(osp.join(self.raw_dir, self.FILES[self.name]))
+
+    @property
+    def raw_urls(self):
+        # reference linkx_dataset.py:56-64
+        base = "https://github.com/CUAI/Non-Homophily-Large-Scale/raw/master/data/facebook100"
+        fname = self.FILES[self.name]
+        return {fname: f"{base}/{fname.replace(' ', '%20')}"}
 
     def _process(self) -> Graph:
         from scipy.io import loadmat

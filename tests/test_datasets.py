@@ -54,14 +54,10 @@ def test_custom_hetero_roundtrip(tmp_path):
     assert ds.num_classes == 2
 
 
-def test_planetoid_format_parser(tmp_path):
-    """Build tiny synthetic planetoid raw files and parse them."""
+def _fabricate_planetoid_raw(name="cora", n_train=8, n_test=6, d=5, c=3, n_all=20):
+    """Tiny synthetic planetoid raw files as ``{filename: bytes}``."""
     import pickle
 
-    name, n_train, n_test, d, c = "cora", 8, 6, 5, 3
-    n_all = 20  # allx rows (train + unlabeled)
-    raw = tmp_path / "Planetoid" / name / "raw"
-    raw.mkdir(parents=True)
     rng = np.random.default_rng(0)
     x = sp.csr_matrix(rng.random((n_train, d)).astype(np.float32))
     allx = sp.csr_matrix(rng.random((n_all, d)).astype(np.float32))
@@ -73,11 +69,27 @@ def test_planetoid_format_parser(tmp_path):
     graph = {i: [int(j) for j in rng.integers(0, n_total, 3)] for i in range(n_total)}
     test_index = list(range(n_all, n_total))
     rng.shuffle(test_index)
-    for nm, obj in [("x", x), ("tx", tx), ("allx", allx), ("y", y), ("ty", ty), ("ally", ally), ("graph", graph)]:
-        with open(raw / f"ind.{name}.{nm}", "wb") as f:
-            pickle.dump(obj, f)
-    with open(raw / f"ind.{name}.test.index", "w") as f:
-        f.write("\n".join(str(i) for i in test_index))
+    files = {
+        f"ind.{name}.{nm}": pickle.dumps(obj)
+        for nm, obj in [
+            ("x", x), ("tx", tx), ("allx", allx),
+            ("y", y), ("ty", ty), ("ally", ally), ("graph", graph),
+        ]
+    }
+    files[f"ind.{name}.test.index"] = "\n".join(
+        str(i) for i in test_index
+    ).encode()
+    return files, n_total
+
+
+def test_planetoid_format_parser(tmp_path):
+    """Build tiny synthetic planetoid raw files and parse them."""
+    name, d = "cora", 5
+    raw = tmp_path / "Planetoid" / name / "raw"
+    raw.mkdir(parents=True)
+    files, n_total = _fabricate_planetoid_raw(name, d=d)
+    for fname, data in files.items():
+        (raw / fname).write_bytes(data)
     ds = Planetoid(name, root=str(tmp_path) + "/", split="random")
     assert ds.num_node == n_total
     assert ds.num_features == d
@@ -114,9 +126,69 @@ def test_ogbn_format_parser(tmp_path):
     assert all((b, a) in pairs for a, b in pairs)
 
 
-def test_download_gated_error():
+def test_download_gated_error(tmp_path, monkeypatch):
+    """Offline, a loader with raw_urls still raises a clear IOError (no
+    exit(1) like the reference, sgl/dataset/utils.py:29-35)."""
+    import urllib.request
+
+    def _no_net(*a, **k):
+        raise OSError("no egress")
+
+    monkeypatch.setattr(urllib.request, "urlopen", _no_net)
     with pytest.raises(IOError):
-        Planetoid("pubmed", root="/tmp/sgl_data_nonexistent/")
+        Planetoid("pubmed", root=str(tmp_path) + "/")
+
+
+def test_download_gated_error_no_known_source(tmp_path):
+    """Loaders without raw_urls raise the place-files-manually error."""
+    from sgl_tpu.datasets import Acm
+
+    with pytest.raises(IOError, match="no download source"):
+        Acm(root=str(tmp_path) + "/")
+
+
+def test_download_bootstrap_mocked_urlopen(tmp_path, monkeypatch):
+    """Full download -> process -> split lifecycle with a mocked network:
+    Planetoid self-bootstraps from its reference URLs
+    (sgl/dataset/planetoid.py:34-39) through datasets.utils.download_to."""
+    import io
+    import urllib.request
+
+    name = "cora"
+    files, n_total = _fabricate_planetoid_raw(name)
+    base = "https://github.com/kimiyoung/planetoid/raw/master/data"
+    served = {f"{base}/{fname}": data for fname, data in files.items()}
+    fetched = []
+
+    def fake_urlopen(url, *a, **k):
+        fetched.append(url)
+        return io.BytesIO(served[url])
+
+    monkeypatch.setattr(urllib.request, "urlopen", fake_urlopen)
+    ds = Planetoid(name, root=str(tmp_path) + "/", split="random")
+    assert ds.num_node == n_total
+    assert len(fetched) == len(files)  # every raw file came off the wire
+    # files landed under raw/ so a second load is offline
+    ds2 = Planetoid(name, root=str(tmp_path) + "/", split="random")
+    assert ds2.num_node == n_total
+
+
+def test_raw_urls_cover_raw_files():
+    """Every loader that declares raw file names also declares a URL for
+    each (keeps the bootstrap complete as loaders evolve)."""
+    from sgl_tpu.datasets import Airports, Amazon, Coauthor
+
+    for cls, name, expect in [
+        (Airports, "usa", ["usa-airports.edgelist", "labels-usa-airports.txt"]),
+        (Amazon, "photo", ["amazon_electronics_photo.npz"]),
+        (Coauthor, "cs", ["ms_academic_cs.npz"]),
+    ]:
+        inst = cls.__new__(cls)  # raw_urls must need only name/raw_dir
+        inst.name = name
+        inst.raw_dir = "/tmp/raw"
+        mapping = cls.raw_urls.fget(inst)
+        assert sorted(mapping) == sorted(expect), cls.__name__
+        assert all(u.startswith("http") for u in mapping.values())
 
 
 def test_actor_format_parser(tmp_path):
