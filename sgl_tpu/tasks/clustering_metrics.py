@@ -54,3 +54,40 @@ class clustering_metrics:  # noqa: N801 — reference-compatible name
         adjscore = metrics.adjusted_rand_score(self.true_label, self.pred_label)
         acc = self.clusteringAcc()[0]
         return acc, nmi, adjscore
+
+    @staticmethod
+    def plot(X, fig, col, size, true_labels):
+        """Scatter 2-D points colored by true label (reference
+        ``clustering_metrics.py:68-71``)."""
+        ax = fig.add_subplot(1, 1, 1)
+        true_labels = np.asarray(true_labels)
+        for i, c in enumerate(col[: int(true_labels.max()) + 1]):
+            pts = X[true_labels == i]
+            ax.scatter(pts[:, 0], pts[:, 1], lw=0, s=size, c=c)
+
+    def plotClusters(self, hidden_emb, true_labels, path="plot.png"):  # noqa: N802
+        """t-SNE 2-D projection of embeddings, colored by true label, saved
+        to ``path`` (reference ``clustering_metrics.py:72-86``; its tqdm
+        progress handle is dropped — plain logging instead).  Optional
+        dependency: needs matplotlib (headless Agg backend)."""
+        import matplotlib
+
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+        from sklearn.manifold import TSNE
+
+        hidden_emb = np.asarray(hidden_emb)
+        tsne = TSNE(n_components=2, perplexity=min(30.0, max(2.0, hidden_emb.shape[0] / 4)))
+        x_tsne = tsne.fit_transform(hidden_emb)
+        fig = plt.figure()
+        self.plot(
+            x_tsne,
+            fig,
+            ["red", "green", "blue", "brown", "purple", "yellow", "pink", "orange"],
+            40,
+            true_labels,
+        )
+        plt.axis("off")
+        fig.savefig(path, dpi=120)
+        plt.close(fig)
+        return path

@@ -64,3 +64,82 @@ def test_nas_successive_halving():
     assert -history.best_accuracy_trial.objs[0] > 0.5
     # the epoch override must not leak out of the driver
     assert configer._epochs == 4
+
+
+def test_nas_openbox_adapter_with_stub(monkeypatch):
+    """Drive run_nas(optimizer='openbox') through a stubbed openbox module
+    so the adapter (smbo.py) and _configSpace (search_config.py) execute:
+    2 trials through the real objective (reference examples/test_nas.py:14-33)."""
+    import importlib.machinery
+    import sys
+    import types
+
+    calls = []
+
+    class _HP:
+        def __init__(self, name, lo, hi):
+            self.name, self.lo, self.hi = name, lo, hi
+
+    class _Space:
+        def __init__(self):
+            self.hps = []
+
+        def add_hyperparameters(self, hps):
+            self.hps.extend(hps)
+
+    class _SMBO:
+        def __init__(self, objective, space, **kwargs):
+            assert kwargs["num_objs"] == 2
+            assert kwargs["max_runs"] == 2
+            # the space must carry all 7 arch dimensions
+            assert sorted(h.name for h in space.hps) == sorted(
+                ["prop_steps", "prop_types", "mesg_types", "num_layers",
+                 "post_steps", "post_types", "pmsg_types"]
+            )
+            self._objective = objective
+            self._space = space
+            self._max_runs = kwargs["max_runs"]
+
+        def run(self):
+            rng = np.random.default_rng(0)
+            for _ in range(self._max_runs):
+                config = {h.name: int(rng.integers(h.lo, h.hi + 1)) for h in self._space.hps}
+                result = self._objective(config)
+                assert len(result["objs"]) == 2
+                calls.append(result)
+            return calls
+
+    def _mod(name, **attrs):
+        m = types.ModuleType(name)
+        m.__spec__ = importlib.machinery.ModuleSpec(name, None)
+        for k, v in attrs.items():
+            setattr(m, k, v)
+        return m
+
+    monkeypatch.setitem(sys.modules, "openbox", _mod("openbox"))
+    monkeypatch.setitem(
+        sys.modules, "openbox.optimizer", _mod("openbox.optimizer")
+    )
+    monkeypatch.setitem(
+        sys.modules,
+        "openbox.optimizer.generic_smbo",
+        _mod("openbox.optimizer.generic_smbo", SMBO=_SMBO),
+    )
+    monkeypatch.setitem(sys.modules, "openbox.utils", _mod("openbox.utils"))
+    monkeypatch.setitem(
+        sys.modules,
+        "openbox.utils.config_space",
+        _mod(
+            "openbox.utils.config_space",
+            ConfigurationSpace=_Space,
+            UniformIntegerHyperparameter=_HP,
+        ),
+    )
+
+    configer = ConfigManager(arch=[2, 1, 0, 1, 0, 0, 0], prop_steps=(1, 2),
+                             num_layers=(1, 2), post_steps=(0, 1))
+    configer._setParameters(DS, None, 16, epochs=2, lr=0.05, wd=5e-5, restarts=1)
+    out = run_nas(configer, max_runs=2, optimizer="openbox", verbose=False)
+    assert len(calls) == 2
+    assert all(-r["objs"][0] > 0 for r in calls)  # real accuracies came back
+    assert out is calls

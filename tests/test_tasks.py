@@ -221,3 +221,18 @@ def test_predictor_save_load_roundtrip(tmp_path):
     restored = Predictor.load(p)
     got = restored.predict(ids)
     np.testing.assert_allclose(got, want, rtol=1e-6, atol=1e-7)
+
+
+def test_plot_clusters_tsne(tmp_path):
+    """plotClusters twin (reference clustering_metrics.py:72-86): t-SNE
+    projection written to disk via the headless Agg backend."""
+    pytest.importorskip("matplotlib")
+    from sgl_tpu.tasks.clustering_metrics import clustering_metrics
+
+    rng = np.random.default_rng(0)
+    emb = rng.normal(size=(40, 8)).astype(np.float32)
+    labels = rng.integers(0, 3, 40)
+    cm = clustering_metrics(labels, labels)
+    out = cm.plotClusters(emb, labels, path=str(tmp_path / "plot.png"))
+    assert (tmp_path / "plot.png").stat().st_size > 0
+    assert out.endswith("plot.png")
