@@ -38,6 +38,7 @@ from __future__ import annotations
 
 import dataclasses
 import functools
+import logging
 import os
 from typing import Optional
 
@@ -578,15 +579,17 @@ def prepare_chunked_parts(
     n_chunks = chunk_tile.shape[0]
     chunk = full.src.shape[0] // n_chunks
     max_chunks = max(max_edges_per_part // chunk, 1)
-    # split every max_chunks chunks, even mid-tile: a single output tile can
-    # hold tens of millions of in-edges (power-law dst hubs), so tile-
-    # boundary-only splits cannot bound part size.  Parts that share a tile
-    # produce partial sums; spmm_pallas_streaming overlap-ADDS part outputs
-    # instead of concatenating.
-    splits = list(range(0, n_chunks, max_chunks))
-    splits.append(n_chunks)
-    if splits[-1] == splits[-2]:
-        splits.pop()
+    # split even mid-tile: a single output tile can hold tens of millions
+    # of in-edges (power-law dst hubs), so tile-boundary-only splits cannot
+    # bound part size.  Parts that share a tile produce partial sums;
+    # spmm_pallas_streaming overlap-ADDS part outputs instead of
+    # concatenating.  Splits are BALANCED (all parts within one chunk of
+    # each other) because every part pads to the largest one — fixed
+    # max_chunks strides left the trailing part ~90% padding, ~1M wasted
+    # gather slots on the 5.2M bench (measured round 2).
+    n_parts = -(-n_chunks // max_chunks)
+    bounds = np.linspace(0, n_chunks, n_parts + 1).round().astype(int)
+    splits = list(np.unique(bounds))
     part_chunks = max(np.diff(splits))
     parts = []
     src = np.asarray(full.src)
@@ -619,6 +622,14 @@ def prepare_chunked_parts(
             )
         )
     max_tiles = max(p.n_tiles for p in parts)
+    real_edges = int(np.count_nonzero(w))
+    slots = part_chunks * chunk * len(parts)
+    logging.getLogger(__name__).info(
+        "streaming parts: %d parts x %d chunks (%d real edges in %d slots, "
+        "%.2fx padding incl per-part chunk waste)",
+        len(parts), part_chunks, real_edges, slots,
+        slots / max(real_edges, 1),
+    )
     extras = ChunkedAdj(
         # structure-free carrier for the global diag/hub contributions
         jnp.zeros(0, jnp.int32),
