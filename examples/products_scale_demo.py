@@ -20,7 +20,7 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def main(n=2_400_000, avg_deg=25, d=100, hops=3, part_edges=4 << 20):
+def main(n=2_400_000, avg_deg=25, d=100, hops=3, part_edges=6 << 20):
     from sgl_tpu.datasets.synthetic import random_power_law_graph
     from sgl_tpu.graph import symmetric_normalized_weights_host
     from sgl_tpu.kernels import prepare_chunked_parts, spmm_pallas_streaming

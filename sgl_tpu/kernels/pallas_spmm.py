@@ -556,7 +556,10 @@ def stack_parts(parts) -> StackedParts:
 
 def prepare_chunked_parts(
     adj: SparseAdj,
-    max_edges_per_part: int = 16 << 20,
+    # 6M swept best at products scale on v5e (dev/exp_stream_sweep.py):
+    # 4M pays more per-part dispatch, 16M OOMs the scan (per-part f32
+    # msgs + hi/lo ≈ 24 B/slot-col resident at once)
+    max_edges_per_part: int = 6 << 20,
     *,
     split_diag: bool = True,
     hub_k="auto",
