@@ -79,11 +79,12 @@ def _report_padding(dadj, kind: str) -> None:
         dadj.num_partitions,
     )
     if stats["ratio"] > _PADDING_WARN_RATIO:
-        # P>=16 mitigation sketch: per-owner bucket sizes cannot vary under
-        # SPMD (every device's shard must be shape-equal), but hub-heavy
-        # buckets can be drained further by raising hub_k / lowering the
-        # degree cutoff so the dense-hub matmul absorbs the skew before the
-        # ring layout is padded.
+        # Per-owner bucket sizes cannot vary under SPMD (every device's
+        # shard must be shape-equal).  The chunked layout already applies
+        # three mitigations (node shuffle, slot-minimizing chunk size, dst
+        # super-hub strip); a ratio still above the threshold means the
+        # residual per-tile coverage floor (P²·tiles·chunk slots) dominates
+        # — fewer partitions or a larger hub budget are the levers left.
         warnings.warn(
             f"{kind} ring buckets are {stats['ratio']:.1f}x padded "
             f"({stats['padded_slots']} slots for {stats['real_edges']} edges); "
@@ -193,10 +194,19 @@ class DistChunkedAdj:
       (k·D bytes, negligible next to the N·D ring volume) and applied as a
       local dense ``hub_m_local @ x[hubs]`` matmul.  On power-law graphs
       this removes 30-50% of ring-bucket edges.
+    * ``hub_in_ids``/``hub_in_m``: the k highest-IN-degree destinations —
+      a dst super-hub's in-edges from one source block all land in one
+      (owner, src-block, tile) run, and the densest run sets every
+      bucket's padded size, so they are the P≥16 padding driver.  Their
+      rows compute as ``yh = psum_p(hub_in_m[:, block_p] @ x_p)`` — each
+      device contributes its own column block against the features it owns
+      (no rotation), one (k, D) psum per hop — and scatter into the
+      owners' output rows.
 
     Shapes: ``src/dst/w`` are (P, P, C·chunk) with local ids; ``chunk_tile``
     is (P, P, C), non-decreasing per bucket; ``diag``/``hub_m`` rows are
-    padded to P·block and row-sharded.
+    padded to P·block and row-sharded; ``hub_in_m`` is (k_in, P·block),
+    column-sharded.
     """
 
     src: jnp.ndarray
@@ -208,6 +218,15 @@ class DistChunkedAdj:
     hub_m: Optional[jnp.ndarray]
     num_nodes: int
     block: int
+    # node relabeling (``order[new] = old``): datasets commonly assign ids
+    # by degree, clustering every hub into tile 0 of owner 0 — one bucket
+    # then inflates all P² bucket paddings (measured 54x at P=64 on a
+    # zipf graph).  A fixed shuffle spreads hub *destinations* across
+    # owners/tiles; propagation is node-order-equivariant, so the layout
+    # permutes features in and un-permutes outputs transparently.
+    order: Optional[jnp.ndarray] = None
+    hub_in_ids: Optional[jnp.ndarray] = None  # [k_in] int32 (new ids)
+    hub_in_m: Optional[jnp.ndarray] = None  # [k_in, P·block] f32
 
     def tree_flatten(self):
         return (
@@ -218,12 +237,19 @@ class DistChunkedAdj:
             self.diag,
             self.hub_ids,
             self.hub_m,
+            self.order,
+            self.hub_in_ids,
+            self.hub_in_m,
         ), (self.num_nodes, self.block)
 
     @classmethod
     def tree_unflatten(cls, aux, leaves):
-        src, dst, w, chunk_tile, diag, hub_ids, hub_m = leaves
-        return cls(src, dst, w, chunk_tile, diag, hub_ids, hub_m, *aux)
+        (src, dst, w, chunk_tile, diag, hub_ids, hub_m, order,
+         hub_in_ids, hub_in_m) = leaves
+        return cls(
+            src, dst, w, chunk_tile, diag, hub_ids, hub_m, *aux,
+            order=order, hub_in_ids=hub_in_ids, hub_in_m=hub_in_m,
+        )
 
     @property
     def num_partitions(self) -> int:
@@ -238,12 +264,19 @@ def partition_adj_chunked(
     hub_k="auto",
     max_hub_bytes: int = 512 << 20,
     chunk: Optional[int] = None,
+    shuffle: bool = True,
+    shuffle_seed: int = 0,
 ) -> DistChunkedAdj:
     """Host-side partition into per-(owner, source-block) Pallas chunk
-    layouts.  ``block`` is rounded up to the kernel's 128-row tile."""
+    layouts.  ``block`` is rounded up to the kernel's 128-row tile.
+
+    ``shuffle`` relabels nodes by a fixed permutation before bucketing
+    (see :class:`DistChunkedAdj.order`): degree-ordered node ids cluster
+    hub destinations into one tile/owner, and the single densest bucket
+    sets every bucket's padded size.
+    """
     from sgl_tpu.kernels.pallas_spmm import CHUNK, TILE_R, split_extras
 
-    chunk = chunk or CHUNK
     p = num_partitions
     n = adj.num_nodes
     block = _round_up(-(-n // p), TILE_R)
@@ -254,6 +287,16 @@ def partition_adj_chunked(
     keep = w != 0
     src, dst, w = src[keep], dst[keep], w[keep]
 
+
+    node_order = None
+    if shuffle and p > 1:
+        rng = np.random.default_rng(shuffle_seed)
+        node_order = rng.permutation(n).astype(np.int32)  # node_order[new] = old
+        new_of = np.empty(n, np.int64)
+        new_of[node_order] = np.arange(n)
+        src = new_of[src]
+        dst = new_of[dst]
+
     src, dst, w, diag, hub_ids, hub_m = split_extras(
         src, dst, w, n, split_diag=split_diag, hub_k=hub_k,
         max_hub_bytes=max_hub_bytes,
@@ -263,6 +306,28 @@ def partition_adj_chunked(
     if hub_m is not None:
         hub_m = np.pad(hub_m, ((0, n_pad - n), (0, 0)))
 
+    # dst-side super-hub split (see class docstring): a node's in-edges
+    # from one source block are one indivisible (owner, sblk, tile) run,
+    # and every bucket pads to the densest run — pull the top in-degree
+    # destinations into a column-sharded dense strip instead.
+    hub_in_ids = hub_in_m = None
+    if hub_k not in (0, None) and p > 1 and src.size:
+        in_counts = np.bincount(dst, minlength=n)
+        cutoff = max(n // 700, 32)
+        k_in = int(np.count_nonzero(in_counts >= cutoff))
+        k_in = min(k_in, 4096, max_hub_bytes // max(4 * block, 1))
+        if k_in >= 16:
+            hubs_in = np.argpartition(-in_counts, k_in - 1)[:k_in].astype(np.int32)
+            row_of = np.full(n, -1, np.int64)
+            row_of[hubs_in] = np.arange(k_in)
+            m = row_of[dst] >= 0
+            flat_in = row_of[dst[m]] * n_pad + src[m]
+            hub_in_m = np.bincount(
+                flat_in, weights=w[m], minlength=k_in * n_pad
+            ).reshape(k_in, n_pad).astype(np.float32)
+            src, dst, w = src[~m], dst[~m], w[~m]
+            hub_in_ids = hubs_in
+
     owner = dst // block
     sblk = src // block
     tiles = block // TILE_R
@@ -271,7 +336,23 @@ def partition_adj_chunked(
     # per (owner, sblk, tile) counts -> per-bucket padded chunk counts
     flat = (owner * p + sblk) * tiles + tile_of
     counts = np.bincount(flat, minlength=p * p * tiles).reshape(p * p, tiles)
-    padded = np.maximum(_round_up_arr_np(counts, chunk), chunk)
+
+    def _layout_cost(c):
+        """Total slots for chunk size ``c``: every bucket pads to the
+        DENSEST bucket's chunk count (the arrays are (P², e_b))."""
+        pad_c = np.maximum(_round_up_arr_np(counts, c), c)
+        return p * p * int(pad_c.sum(axis=1).max()), pad_c
+
+    if chunk is None:
+        # pick the chunk that minimizes total slots: at large P the
+        # single-chip chunk (512) pads every (owner, src-block, tile) run
+        # P·N-fold; the candidate set keeps the MXU matmul shaped (>= 32
+        # sublanes) and the eval is a bincount reduction — effectively free
+        chunk = min(
+            (32, 64, 128, 192, 256, 384, CHUNK),
+            key=lambda c: _layout_cost(c)[0],
+        )
+    padded = _layout_cost(chunk)[1]
     c_max = int(padded.sum(axis=1).max()) // chunk
     e_b = c_max * chunk
 
@@ -324,6 +405,9 @@ def partition_adj_chunked(
         hub_m=None if hub_m is None else jnp.asarray(hub_m),
         num_nodes=n,
         block=block,
+        order=None if node_order is None else jnp.asarray(node_order),
+        hub_in_ids=None if hub_in_ids is None else jnp.asarray(hub_in_ids),
+        hub_in_m=None if hub_in_m is None else jnp.asarray(hub_in_m),
     )
     _report_padding(out, "chunked")
     return out
@@ -370,6 +454,8 @@ def _ring_spmm_local_chunked(
     diag_l,
     hub_ids,
     hub_m_l,
+    hub_in_ids,
+    hub_in_m_l,
     x_local,
     *,
     axis: str,
@@ -378,6 +464,7 @@ def _ring_spmm_local_chunked(
     interpret: bool,
     has_diag: bool,
     has_hub: bool,
+    has_hub_in: bool,
 ):
     """Per-device ring body running the Pallas one-hot MXU kernel per
     bucket (see :class:`DistChunkedAdj`)."""
@@ -432,6 +519,16 @@ def _ring_spmm_local_chunked(
         y = y + jax.lax.dot(
             hub_m_l, xh, precision=jax.lax.Precision.HIGH
         )
+    if has_hub_in:
+        # dst super-hub rows: each device multiplies its own column block
+        # of hub_in_m against the features it owns; one (k_in, D) psum
+        yh = jax.lax.psum(
+            jax.lax.dot(hub_in_m_l, x_local, precision=jax.lax.Precision.HIGH),
+            axis,
+        )
+        mine_in = (hub_in_ids // block) == p
+        pos_in = jnp.clip(hub_in_ids - p * block, 0, block - 1)
+        y = y.at[pos_in].add(jnp.where(mine_in[:, None], yh, 0.0))
     return y
 
 
@@ -447,6 +544,7 @@ def make_dist_spmm(mesh: Mesh, axis: str = "graph", interpret: bool = False):
             p = dadj.num_partitions
             has_diag = dadj.diag is not None
             has_hub = dadj.hub_ids is not None
+            has_hub_in = dadj.hub_in_ids is not None
             body = functools.partial(
                 _ring_spmm_local_chunked,
                 axis=axis,
@@ -455,6 +553,7 @@ def make_dist_spmm(mesh: Mesh, axis: str = "graph", interpret: bool = False):
                 interpret=interpret,
                 has_diag=has_diag,
                 has_hub=has_hub,
+                has_hub_in=has_hub_in,
             )
             # absent extras become tiny dummies (shard_map wants arrays)
             diag = dadj.diag if has_diag else jnp.zeros(p * dadj.block, jnp.float32)
@@ -463,6 +562,14 @@ def make_dist_spmm(mesh: Mesh, axis: str = "graph", interpret: bool = False):
                 dadj.hub_m
                 if has_hub
                 else jnp.zeros((p * dadj.block, 1), jnp.float32)
+            )
+            hub_in_ids = (
+                dadj.hub_in_ids if has_hub_in else jnp.zeros(1, jnp.int32)
+            )
+            hub_in_m = (
+                dadj.hub_in_m
+                if has_hub_in
+                else jnp.zeros((1, p * dadj.block), jnp.float32)
             )
             return jax.shard_map(
                 body,
@@ -475,6 +582,8 @@ def make_dist_spmm(mesh: Mesh, axis: str = "graph", interpret: bool = False):
                     P(axis),
                     P(),
                     P(axis),
+                    P(),
+                    P(None, axis),
                     P(axis),
                 ),
                 out_specs=P(axis),
@@ -489,6 +598,8 @@ def make_dist_spmm(mesh: Mesh, axis: str = "graph", interpret: bool = False):
                 diag,
                 hub_ids,
                 hub_m,
+                hub_in_ids,
+                hub_in_m,
                 x_pad,
             )
         body = functools.partial(
@@ -519,6 +630,9 @@ def k_hop_propagate_dist(
     may be a :class:`DistAdj` (XLA segment compute) or a
     :class:`DistChunkedAdj` (Pallas MXU compute; the TPU hot path)."""
     parts = mesh.shape[axis]
+    order = getattr(dadj, "order", None)
+    if order is not None:
+        x = jnp.take(jnp.asarray(x), order, axis=0)  # x_perm[new] = x[order[new]]
     x_pad = pad_features(x, parts, block=dadj.block)
     spmm_dist = make_dist_spmm(mesh, axis, interpret=interpret)
 
@@ -532,4 +646,11 @@ def k_hop_propagate_dist(
         return jnp.concatenate([x_pad[None], hops], axis=0)
 
     out = run(dadj, x_pad)
-    return out[:, : dadj.num_nodes, :]
+    out = out[:, : dadj.num_nodes, :]
+    if order is not None:
+        # un-permute rows: out_old[old] = out_new[new_of[old]]
+        new_of = jnp.zeros(dadj.num_nodes, jnp.int32).at[order].set(
+            jnp.arange(dadj.num_nodes, dtype=jnp.int32)
+        )
+        out = jnp.take(out, new_of, axis=1)
+    return out

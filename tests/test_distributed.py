@@ -223,3 +223,26 @@ def test_ring_padding_stats_logged_on_zipf_graph(caplog):
     assert stats["real_edges"] > 0
     assert stats["padded_slots"] >= stats["real_edges"]
     assert stats["ratio"] == stats["padded_slots"] / stats["real_edges"]
+
+
+def test_ring_dst_hub_split_allclose_and_bounded_padding():
+    """The pod-scale padding mitigations (node shuffle + slot-minimizing
+    chunk + dst super-hub strip) must keep the layout bounded on a
+    power-law graph AND stay exact."""
+    from sgl_tpu.datasets.synthetic import random_power_law_graph
+    from sgl_tpu.parallel import partition_adj_chunked, ring_padding_stats
+
+    g = random_power_law_graph(20_000, 15, 8, seed=1)
+    adj = symmetric_normalized_weights(g)
+
+    d8 = partition_adj_chunked(adj, 8)
+    assert d8.hub_in_ids is not None and d8.order is not None
+    got = np.asarray(k_hop_propagate_dist(mesh := make_mesh((1, 8)), d8, g.x, 3, interpret=True))
+    want = np.asarray(k_hop_propagate(adj, jnp.asarray(g.x, jnp.float32), 3))
+    np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-5)
+
+    # padding stays bounded as P grows (layout-only check, no mesh needed);
+    # pre-mitigation this graph measured ~7x at P=8 growing ~linearly in P
+    for p, bound in [(8, 2.5), (32, 4.0), (64, 8.0)]:
+        ratio = ring_padding_stats(partition_adj_chunked(adj, p))["ratio"]
+        assert ratio < bound, (p, ratio)
