@@ -288,7 +288,7 @@ def main():
         os._exit(0)
 
     signal.signal(signal.SIGALRM, on_timeout)
-    signal.alarm(int(os.environ.get("SGL_TPU_BENCH_TIMEOUT", "720")))
+    signal.alarm(int(os.environ.get("SGL_TPU_BENCH_TIMEOUT", "600")))
 
     import jax
 

@@ -20,7 +20,8 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def main(n=2_400_000, avg_deg=25, d=100, hops=3, part_edges=6 << 20):
+def main(n=2_400_000, avg_deg=25, d=100, hops=3, part_edges=6 << 20,
+         dtype=None):
     from sgl_tpu.datasets.synthetic import random_power_law_graph
     from sgl_tpu.graph import symmetric_normalized_weights_host
     from sgl_tpu.kernels import prepare_chunked_parts, spmm_pallas_streaming
@@ -38,6 +39,8 @@ def main(n=2_400_000, avg_deg=25, d=100, hops=3, part_edges=6 << 20):
           f"({time.time() - t0:.1f}s)")
 
     x = jnp.asarray(g.x)
+    if dtype is not None:  # bf16: the documented production default
+        x = x.astype(dtype)
     hops_out = [x]
     t0 = time.time()
     times = []
@@ -58,4 +61,4 @@ def main(n=2_400_000, avg_deg=25, d=100, hops=3, part_edges=6 << 20):
 
 
 if __name__ == "__main__":
-    main()
+    main(dtype=jnp.bfloat16 if "--bf16" in sys.argv else None)
