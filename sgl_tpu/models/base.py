@@ -105,19 +105,40 @@ class SGAPModel:
         # tile; requires a pre_msg_op with supports_node_major.
         self.node_major: bool = False
         self.processed_feature: Optional[jnp.ndarray] = None  # (N,D') / (K+1,N,D) / (N,K+1,D)
+        # set by preprocess(prop_cache=...): amortized preprocess seconds
+        self.preprocess_time_estimate: Optional[float] = None
 
     # -- stage 1: pre-propagation (training-free) --------------------------
-    def preprocess(self, graph: Graph, x=None, dtype=None) -> None:
+    def preprocess(self, graph: Graph, x=None, dtype=None, prop_cache=None) -> None:
         """Run the training-free propagation and cache the result.
 
         ``dtype=jnp.bfloat16`` opts the whole precompute into bf16:
         the Pallas SpMM takes a single-pass kernel variant (+25%
         throughput measured) and the cached hop stack halves in memory.
-        Default keeps f32 fidelity (reference-faithful numerics)."""
+        Default keeps f32 fidelity (reference-faithful numerics).
+
+        ``prop_cache`` (a :class:`sgl_tpu.search.prop_cache.PropagationCache`)
+        shares the hop stack across models on the same graph/op config —
+        used by NAS, where the reference recomputes the full propagation
+        per trial.  Sets ``self.preprocess_time_estimate`` (amortized
+        seconds, for the NAS time objective)."""
         if x is None:
             x = graph.x
         if dtype is not None:
             x = jnp.asarray(x, dtype)
+        if prop_cache is not None and self.pre_graph_op is not None:
+            hops, est = prop_cache.hops_for(graph, x, self.pre_graph_op, dtype=dtype)
+            self.preprocess_time_estimate = est
+            if self.pre_msg_learnable:
+                if self.node_major:
+                    hops = jnp.moveaxis(hops, 0, 1)
+                self.processed_feature = hops
+            else:
+                # the stack already exists in the cache, so the fused
+                # O(N·D) propagate_aggregate path buys nothing here —
+                # aggregate eagerly from the shared stack
+                self.processed_feature = eager_aggregate(self.pre_msg_op, hops)
+            return
         if self.pre_graph_op is not None:
             if self.pre_msg_learnable:
                 hops = self.pre_graph_op.propagate(graph, x)

@@ -43,6 +43,7 @@ class SearchManager(BaseSearch):
         seed: int = 42,
         restarts: int = 10,
         checkpoint_path: Optional[str] = None,
+        prop_cache=None,
         verbose: bool = False,
     ):
         self._dataset = dataset
@@ -53,6 +54,7 @@ class SearchManager(BaseSearch):
         self._seed = seed
         self._restarts = restarts
         self._checkpoint_path = checkpoint_path
+        self._prop_cache = prop_cache
         self._verbose = verbose
 
     def _execute(self):
@@ -60,9 +62,14 @@ class SearchManager(BaseSearch):
         rng = set_seed(self._seed)
 
         t0 = time.time()
-        model.preprocess(ds.graph, ds.x)
+        model.preprocess(ds.graph, ds.x, prop_cache=self._prop_cache)
         jax.block_until_ready(model.processed_feature)
-        time_preprocess = time.time() - t0
+        if self._prop_cache is not None and model.preprocess_time_estimate is not None:
+            # cache hit skips the redundant SpMM; keep the time objective
+            # honest with the cache's amortized per-hop estimate
+            time_preprocess = model.preprocess_time_estimate
+        else:
+            time_preprocess = time.time() - t0
 
         labels = jnp.asarray(np.asarray(ds.y).reshape(-1), jnp.int32)
         train_idx = jnp.asarray(np.asarray(ds.train_idx))

@@ -42,13 +42,18 @@ class ConfigManager:
     post_types: Tuple[int, int] = (1, 4)
     pmsg_types: Tuple[int, int] = (0, 5)
 
-    def _setParameters(self, dataset, device, hiddim, epochs, lr, wd, restarts=10):  # noqa: N802
+    def _setParameters(self, dataset, device, hiddim, epochs, lr, wd, restarts=10, prop_cache=True):  # noqa: N802
         self._dataset = dataset
         self._hiddim = hiddim
         self._epochs = epochs
         self._lr = lr
         self._wd = wd
         self._restarts = restarts
+        # share propagation across trials (the reference recomputes the
+        # full precompute per trial — see search/prop_cache.py)
+        from sgl_tpu.search.prop_cache import PropagationCache
+
+        self._prop_cache = PropagationCache() if prop_cache else None
 
     @property
     def ranges(self) -> Dict[str, Tuple[int, int]]:
@@ -89,6 +94,7 @@ class ConfigManager:
             weight_decay=self._wd,
             epochs=self._epochs,
             restarts=self._restarts,
+            prop_cache=getattr(self, "_prop_cache", None),
         )._execute()
         return {"objs": np.stack([-acc, elapsed], axis=-1)}
 

@@ -143,3 +143,83 @@ def test_nas_openbox_adapter_with_stub(monkeypatch):
     assert len(calls) == 2
     assert all(-r["objs"][0] > 0 for r in calls)  # real accuracies came back
     assert out is calls
+
+
+# ---------------------------------------------------------------------------
+# cross-trial propagation cache (beyond reference: the reference recomputes
+# the full precompute per NAS trial, sgl/search/auto_search.py:26)
+# ---------------------------------------------------------------------------
+
+
+def test_prop_cache_slice_and_extend_match_direct():
+    import jax.numpy as jnp
+
+    from sgl_tpu.ops.graph_ops import LaplacianGraphOp, PprGraphOp
+    from sgl_tpu.search import PropagationCache
+
+    cache = PropagationCache()
+    g, x = DS.graph, DS.x
+    for op_cls, kw in [(LaplacianGraphOp, {}), (PprGraphOp, {"alpha": 0.2})]:
+        hops3, t3 = cache.hops_for(g, x, op_cls(3, **kw))
+        direct3 = op_cls(3, **kw).propagate(g, x)
+        np.testing.assert_allclose(np.asarray(hops3), np.asarray(direct3), atol=1e-6)
+        # prefix request: pure slice, no new SpMM work
+        before = cache.hops_computed
+        hops2, t2 = cache.hops_for(g, x, op_cls(2, **kw))
+        assert cache.hops_computed == before
+        np.testing.assert_allclose(np.asarray(hops2), np.asarray(direct3[:3]), atol=1e-6)
+        # deeper request: extends from the cached last hop, bit-identical
+        # to a fresh propagation (A^(3+2)x == A^2(A^3 x) for linear ops)
+        hops5, t5 = cache.hops_for(g, x, op_cls(5, **kw))
+        direct5 = op_cls(5, **kw).propagate(g, x)
+        np.testing.assert_allclose(
+            np.asarray(hops5), np.asarray(direct5), atol=1e-5, rtol=1e-5
+        )
+        assert t2 > 0 and t5 > t2  # time estimate still ranks deeper archs costlier
+    assert cache.misses == 2 and cache.hits == 4
+    # total SpMM work across all requests = deepest hop count per config
+    assert cache.hops_computed == 2 * 5
+
+
+def test_prop_cache_distinguishes_op_configs_and_dtype():
+    import jax.numpy as jnp
+
+    from sgl_tpu.ops.graph_ops import LaplacianGraphOp
+    from sgl_tpu.search import PropagationCache
+
+    cache = PropagationCache()
+    g, x = DS.graph, DS.x
+    cache.hops_for(g, x, LaplacianGraphOp(2, r=0.5))
+    cache.hops_for(g, x, LaplacianGraphOp(2, r=0.3))  # different r -> new entry
+    cache.hops_for(g, x, LaplacianGraphOp(2, r=0.5), dtype=jnp.bfloat16)
+    assert cache.misses == 3 and cache.hits == 0
+    h, _ = cache.hops_for(g, x, LaplacianGraphOp(2, r=0.5))
+    assert cache.hits == 1 and h.dtype == jnp.float32
+
+
+def test_search_manager_with_cache_matches_without():
+    from sgl_tpu.search import PropagationCache
+
+    cache = PropagationCache()
+    for arch in ([2, 1, 0, 1, 0, 0, 0], [3, 1, 7, 2, 0, 0, 0]):
+        kwargs = dict(lr=0.05, weight_decay=5e-5, epochs=5, restarts=2)
+        model_a = SearchModel(arch, DS.num_features, DS.num_classes, 16)
+        acc_a, _ = SearchManager(DS, model_a, **kwargs)._execute()
+        model_b = SearchModel(arch, DS.num_features, DS.num_classes, 16)
+        acc_b, elapsed_b = SearchManager(
+            DS, model_b, prop_cache=cache, **kwargs
+        )._execute()
+        assert acc_a == acc_b  # identical hops -> identical training
+        assert elapsed_b > 0
+    assert cache.misses == 1 and cache.hits == 1  # second arch reused + extended
+
+
+def test_nas_loop_uses_shared_prop_cache():
+    configer = ConfigManager(arch=[2, 1, 0, 1, 0, 0, 0], prop_steps=(1, 3),
+                             num_layers=(1, 2), post_steps=(0, 1))
+    configer._setParameters(DS, None, 16, epochs=2, lr=0.05, wd=5e-5, restarts=1)
+    run_nas(configer, max_runs=6, optimizer="random", seed=0, verbose=False)
+    cache = configer._prop_cache
+    assert cache is not None
+    assert cache.hits + cache.misses == 6
+    assert cache.hits >= 1  # 6 trials over a (1,3)x(1,4)-ish space must collide
