@@ -17,3 +17,9 @@ from sgl_tpu.kernels.pallas_spmm import (  # noqa: E402
     prepare_chunked_parts,
     spmm_pallas_streaming,
 )
+from sgl_tpu.kernels.spmm_ooc import (  # noqa: E402
+    OutOfCoreAdj,
+    k_hop_out_of_core,
+    prepare_out_of_core,
+    spmm_out_of_core,
+)

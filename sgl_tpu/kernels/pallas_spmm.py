@@ -257,7 +257,33 @@ def prepare_chunked(
         max_hub_bytes=max_hub_bytes,
     )
 
-    chunk = chunk or CHUNK
+    out_src, out_dst, out_w, chunk_tile = chunk_layout_np(
+        src, dst, w, n, chunk or CHUNK
+    )
+    return ChunkedAdj(
+        jnp.asarray(out_src),
+        jnp.asarray(out_dst),
+        jnp.asarray(out_w),
+        jnp.asarray(chunk_tile),
+        num_nodes=n,
+        diag=None if diag is None else jnp.asarray(diag),
+        hub_ids=None if hub_ids is None else jnp.asarray(hub_ids),
+        hub_m=None if hub_m is None else jnp.asarray(hub_m),
+    )
+
+
+def _round_up_arr(x: np.ndarray, m: int) -> np.ndarray:
+    return ((x + m - 1) // m) * m
+
+
+def chunk_layout_np(
+    src: np.ndarray, dst: np.ndarray, w: np.ndarray, n: int, chunk: int
+):
+    """Core tile-chunk re-layout, host-side numpy (shared by the in-HBM,
+    streaming, and out-of-core preparers).  ``dst`` must be sorted; every
+    output tile (even an empty one) gets at least one chunk so the kernel
+    always writes its block.  Returns (src, dst, w, chunk_tile) numpy
+    arrays; padding slots carry ``w == 0`` with in-tile dst rows."""
     n_tiles = _round_up(n, TILE_R) // TILE_R
     tile_of = dst // TILE_R
     counts = np.bincount(tile_of, minlength=n_tiles)
@@ -276,23 +302,8 @@ def prepare_chunked(
     out_src[pos] = src
     out_dst[pos] = dst
     out_w[pos] = w
-    chunk_tile = np.repeat(
-        np.arange(n_tiles, dtype=np.int32), (padded // chunk)
-    )
-    return ChunkedAdj(
-        jnp.asarray(out_src),
-        jnp.asarray(out_dst),
-        jnp.asarray(out_w),
-        jnp.asarray(chunk_tile),
-        num_nodes=n,
-        diag=None if diag is None else jnp.asarray(diag),
-        hub_ids=None if hub_ids is None else jnp.asarray(hub_ids),
-        hub_m=None if hub_m is None else jnp.asarray(hub_m),
-    )
-
-
-def _round_up_arr(x: np.ndarray, m: int) -> np.ndarray:
-    return ((x + m - 1) // m) * m
+    chunk_tile = np.repeat(np.arange(n_tiles, dtype=np.int32), (padded // chunk))
+    return out_src, out_dst, out_w, chunk_tile
 
 
 def _seg_kernel_single(chunk_tile_ref, dst_ref, hi_ref, out_ref):

@@ -1,0 +1,300 @@
+"""Out-of-core SpMM: graphs whose FEATURES exceed device HBM.
+
+The reference claims "scale to graph data with billions of nodes and
+edges" (``/root/reference/README.md:15-17``) — which it reaches by running
+the whole precompute on host CPUs (``sgl/operators/csrc/matmul.c``) with
+everything in host RAM.  The TPU-native answer keeps the *compute* on the
+chip and streams the *data*: at papers100M scale (111M nodes × 128 f32 =
+57 GB features, 1.8B edges ≈ 22 GB of edge arrays) neither x, y, nor the
+edge list fits in a v5e's 16 GB HBM, so all three live in host RAM and
+move through the chip part by part.
+
+Layout (host, numpy — :func:`prepare_out_of_core`):
+
+1. optional self-loop (diag) split — applied host-side, since out-of-core
+   throughput is PCIe-bound, not gather-bound;
+2. the same dst-sorted per-tile chunk layout as ``prepare_chunked``
+   (shared helper :func:`~sgl_tpu.kernels.pallas_spmm.chunk_layout_np`);
+3. BALANCED contiguous chunk-range parts (mid-tile splits allowed; every
+   part has the same chunk count so all parts share ONE compiled step);
+4. per part, the **column workspace**: ``cols = unique(src)`` — the only
+   feature rows this part's gather touches.  Edge ``src`` indices are
+   remapped to workspace positions; ``cols`` pads to the across-part max.
+
+Execution (:func:`spmm_out_of_core`): per part, transfer the edge arrays
+and the host-gathered ``x[cols]`` workspace, run one jitted
+gather → weighted hi/lo bf16 messages → Pallas MXU segment-reduce step,
+and overlap-add the part's output rows into the host result (consecutive
+parts may share a boundary tile).  Readback is double-buffered — part
+``i+1`` is dispatched before part ``i``'s host readback, so transfer and
+compute overlap under JAX's async dispatch.
+
+Device-resident at any instant: ~two parts of edges + workspaces +
+message buffers — independent of graph size.  The hub split is
+intentionally absent here: a dense ``(N, k)`` hub strip is itself
+out-of-core at this scale, and the gather-row savings it buys optimize an
+HBM pipeline that is not the bottleneck once PCIe streaming dominates.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+import logging
+from typing import Callable, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from sgl_tpu.kernels.pallas_spmm import (
+    CHUNK,
+    TILE_R,
+    _round_up,
+    _segment_reduce_mxu,
+    chunk_layout_np,
+)
+from sgl_tpu.kernels.sparse import SparseAdj
+
+logger = logging.getLogger(__name__)
+
+
+@dataclasses.dataclass(frozen=True)
+class OocPart:
+    """One part's host-side arrays, ready for transfer."""
+
+    src: np.ndarray  # (E_b,) int32, workspace-remapped
+    dst: np.ndarray  # (E_b,) int32, part-local rows
+    w: np.ndarray  # (E_b,) float32
+    chunk_tile: np.ndarray  # (C,) int32, part-local tiles
+    cols: np.ndarray  # (S,) int32 global feature rows (padded with 0)
+    row_offset: int  # global row of part-local row 0
+    valid_rows: int  # real output rows (n_tiles * TILE_R)
+
+
+@dataclasses.dataclass
+class OutOfCoreAdj:
+    """Host-resident prepared adjacency for feature-out-of-core SpMM."""
+
+    num_nodes: int
+    n_rows: int  # static per-part output rows (max tiles * TILE_R)
+    parts: List[OocPart]
+    diag: Optional[np.ndarray]  # (N,) f32 self-loop weights, host-applied
+    # lazily-filled device copies of part edge arrays (identical every
+    # hop, so re-transferring them is pure PCIe waste); bounded by
+    # ``max_device_edge_bytes`` in spmm_out_of_core
+    _dev_edges: dict = dataclasses.field(default_factory=dict, repr=False)
+
+    @property
+    def num_parts(self) -> int:
+        return len(self.parts)
+
+    def part_edge_nbytes(self) -> int:
+        p = self.parts[0]
+        return int(p.src.nbytes + p.dst.nbytes + p.w.nbytes + p.chunk_tile.nbytes)
+
+
+def prepare_out_of_core(
+    adj,
+    max_edges_per_part: int = 6 << 20,
+    *,
+    split_diag: bool = True,
+    chunk: Optional[int] = None,
+) -> OutOfCoreAdj:
+    """Build the out-of-core layout from a (possibly huge) COO adjacency.
+
+    ``adj`` is a :class:`SparseAdj` or an ``(src, dst, w, num_nodes)``
+    tuple of host arrays; weights already normalized (use
+    ``symmetric_normalized_weights_host`` / the native builder for huge
+    graphs).  Everything here is host-side numpy — no device memory is
+    touched.
+    """
+    if isinstance(adj, SparseAdj):
+        src, dst, w, n = adj.src, adj.dst, adj.w, adj.num_nodes
+    else:
+        src, dst, w, n = adj
+    src = np.asarray(src, np.int64)
+    dst = np.asarray(dst, np.int64)
+    w = np.asarray(w, np.float32)
+
+    keep = w != 0
+    src, dst, w = src[keep], dst[keep], w[keep]
+
+    diag = None
+    if split_diag:
+        loop = src == dst
+        if loop.any():
+            diag = np.zeros(n, np.float32)
+            np.add.at(diag, dst[loop], w[loop])
+            src, dst, w = src[~loop], dst[~loop], w[~loop]
+
+    order = np.argsort(dst, kind="stable")
+    src, dst, w = src[order], dst[order], w[order]
+
+    chunk = chunk or CHUNK
+    c_src, c_dst, c_w, chunk_tile = chunk_layout_np(src, dst, w, n, chunk)
+    n_chunks = chunk_tile.shape[0]
+
+    # balanced contiguous chunk ranges (all parts within one chunk of each
+    # other; every part pads to the largest, so balance == zero waste)
+    max_chunks = max(max_edges_per_part // chunk, 1)
+    n_parts = -(-n_chunks // max_chunks)
+    bounds = np.linspace(0, n_chunks, n_parts + 1).round().astype(int)
+    splits = list(np.unique(bounds))
+    part_chunks = int(max(np.diff(splits)))
+
+    raw_parts = []
+    for lo, hi in zip(splits[:-1], splits[1:]):
+        t_lo = int(chunk_tile[lo])
+        t_hi = int(chunk_tile[hi - 1]) + 1
+        pad_c = part_chunks - (hi - lo)
+        e_lo, e_hi = lo * chunk, hi * chunk
+        last_tile = t_hi - t_lo - 1  # padding keeps chunk_tile non-decreasing
+        p_src = np.concatenate([c_src[e_lo:e_hi], np.zeros(pad_c * chunk, np.int64)])
+        p_dst = np.concatenate(
+            [c_dst[e_lo:e_hi] - t_lo * TILE_R,
+             np.full(pad_c * chunk, last_tile * TILE_R, np.int64)]
+        ).astype(np.int32)
+        p_w = np.concatenate([c_w[e_lo:e_hi], np.zeros(pad_c * chunk, np.float32)])
+        p_ct = np.concatenate(
+            [chunk_tile[lo:hi] - t_lo, np.full(pad_c, last_tile, np.int64)]
+        ).astype(np.int32)
+        # column workspace: the only x rows this part's gather reads
+        cols, inv = np.unique(p_src, return_inverse=True)
+        raw_parts.append(
+            (inv.astype(np.int32), p_dst, p_w, p_ct, cols.astype(np.int32),
+             t_lo * TILE_R, (t_hi - t_lo) * TILE_R)
+        )
+
+    # pad workspaces to a common size so every part runs the same compiled
+    # step (padding cols point at row 0; their edges carry w == 0)
+    s_max = max(p[4].shape[0] for p in raw_parts)
+    s_max = _round_up(s_max, TILE_R)
+    parts = []
+    for p_src, p_dst, p_w, p_ct, cols, off, valid in raw_parts:
+        cols = np.pad(cols, (0, s_max - cols.shape[0]))
+        parts.append(OocPart(p_src, p_dst, p_w, p_ct, cols, off, valid))
+
+    n_rows = max(p.valid_rows for p in parts)
+    real_edges = int(np.count_nonzero(c_w))
+    slots = part_chunks * chunk * len(parts)
+    ws_rows = s_max * len(parts)
+    logger.info(
+        "out-of-core layout: %d parts x %d chunks (%d real edges in %d "
+        "slots, %.2fx padding), workspace %d rows/part (%.2fx the unique-"
+        "column total), diag %s",
+        len(parts), part_chunks, real_edges, slots,
+        slots / max(real_edges, 1), s_max,
+        ws_rows / max(sum(p[4].shape[0] for p in raw_parts), 1),
+        "split" if diag is not None else "off",
+    )
+    return OutOfCoreAdj(num_nodes=n, n_rows=n_rows, parts=parts, diag=diag)
+
+
+@functools.partial(jax.jit, static_argnames=("n_rows", "interpret"))
+def _ooc_step(src, dst, w, chunk_tile, xw, n_rows: int, interpret: bool = False):
+    """One part: gather from the workspace, weighted hi/lo bf16 messages,
+    Pallas MXU segment reduce.  Returns (n_rows, d) f32 partial output
+    (rows past the part's valid_rows are unwritten — caller slices)."""
+    d = xw.shape[1]
+    d_pad = _round_up(d, 128)
+    xp = xw if d_pad == d else jnp.pad(xw, ((0, 0), (0, d_pad - d)))
+    single = xw.dtype == jnp.bfloat16
+    msgs = jnp.take(xp, src, axis=0).astype(jnp.float32) * w[:, None]
+    hi = msgs.astype(jnp.bfloat16)
+    lo = None if single else (msgs - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    out = _segment_reduce_mxu(
+        hi, lo, dst, chunk_tile, num_nodes=n_rows, interpret=interpret
+    )
+    return out[:, :d]
+
+
+_DIAG_WINDOW = 1 << 20  # host rows per diag-apply block (bounds temp memory)
+
+
+def spmm_out_of_core(
+    oc: OutOfCoreAdj,
+    x_host: np.ndarray,
+    out: Optional[np.ndarray] = None,
+    interpret: bool = False,
+    max_device_edge_bytes: int = 4 << 30,
+) -> np.ndarray:
+    """``y = adj @ x`` with x, y, and edges all host-resident.
+
+    Streams one part at a time through the device; double-buffers the
+    readback so part ``i+1``'s transfer+compute overlaps part ``i``'s
+    device→host copy.  Part edge arrays are identical for every hop, so
+    as many as fit under ``max_device_edge_bytes`` stay device-cached —
+    only the feature workspace re-streams each hop.  Returns ``out``
+    (allocated if None) in ``x_host.dtype``.
+    """
+    x_host = np.ascontiguousarray(x_host)
+    d = x_host.shape[1]
+    if out is None:
+        out = np.zeros((oc.num_nodes, d), x_host.dtype)
+    else:
+        out[:] = 0
+    cacheable = max(max_device_edge_bytes // max(oc.part_edge_nbytes(), 1), 0)
+
+    def flush(pending):
+        dev, off, valid = pending
+        hi = min(off + valid, oc.num_nodes)
+        # consecutive parts may share a boundary tile -> overlap-ADD
+        out[off:hi] += np.asarray(dev[: hi - off]).astype(out.dtype)
+
+    pending = None
+    for i, p in enumerate(oc.parts):
+        edges = oc._dev_edges.get(i)
+        if edges is None:
+            edges = (
+                jnp.asarray(p.src), jnp.asarray(p.dst), jnp.asarray(p.w),
+                jnp.asarray(p.chunk_tile),
+            )
+            if i < cacheable:
+                oc._dev_edges[i] = edges
+        xw = x_host[p.cols]  # host gather of the column workspace
+        dev = _ooc_step(
+            *edges, jnp.asarray(xw), n_rows=oc.n_rows, interpret=interpret
+        )
+        if pending is not None:
+            flush(pending)
+        pending = (dev, p.row_offset, p.valid_rows)
+    if pending is not None:
+        flush(pending)
+
+    if oc.diag is not None:
+        for lo in range(0, oc.num_nodes, _DIAG_WINDOW):
+            hi = min(lo + _DIAG_WINDOW, oc.num_nodes)
+            out[lo:hi] += (
+                oc.diag[lo:hi, None] * x_host[lo:hi]
+            ).astype(out.dtype)
+    return out
+
+
+def k_hop_out_of_core(
+    oc: OutOfCoreAdj,
+    x_host: np.ndarray,
+    prop_steps: int,
+    hop_sink: Optional[Callable[[int, np.ndarray], None]] = None,
+    interpret: bool = False,
+):
+    """``[X, AX, A²X, …]`` with every hop host-resident.
+
+    Mirrors ``k_hop_propagate`` (``ops/graph_ops.py``) for graphs beyond
+    HBM.  With ``hop_sink(k, arr)`` given, each hop is handed off (e.g.
+    written to a memmap) instead of retained, so peak host memory is two
+    hop matrices; otherwise returns the full hop list.
+    """
+    hops = None
+    if hop_sink is None:
+        hops = [np.asarray(x_host)]
+    else:
+        hop_sink(0, np.asarray(x_host))
+    cur = np.asarray(x_host)
+    for k in range(1, prop_steps + 1):
+        cur = spmm_out_of_core(oc, cur, interpret=interpret)
+        if hop_sink is None:
+            hops.append(cur)
+        else:
+            hop_sink(k, cur)
+    return hops

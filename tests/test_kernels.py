@@ -278,3 +278,87 @@ def test_spmm_pallas_multi_interpret_matches_segment_multi():
     got = np.asarray(spmm_pallas_multi(struct, w_stack, xs, interpret=True))
     want = np.asarray(spmm_multi(adjs, xs))
     np.testing.assert_allclose(got, want, rtol=2e-3, atol=2e-4)
+
+
+# ---------------------------------------------------------------------------
+# out-of-core SpMM (features + edges host-resident; beyond reference, whose
+# "billions of nodes" scaling runs the whole precompute in host RAM on CPU)
+# ---------------------------------------------------------------------------
+
+
+def test_out_of_core_matches_segment():
+    from sgl_tpu.kernels import prepare_out_of_core, spmm_out_of_core
+    from sgl_tpu.kernels.pallas_spmm import CHUNK
+
+    g = random_graph(n=700, avg_deg=10, d=12, seed=17)
+    adj = symmetric_normalized_weights(g)
+    x = np.asarray(g.x)
+    want = np.asarray(spmm(adj, jnp.asarray(x)))
+    for split_diag in (True, False):
+        oc = prepare_out_of_core(
+            adj, max_edges_per_part=2 * CHUNK, split_diag=split_diag
+        )
+        assert oc.num_parts > 1, "part size did not force splitting"
+        # the column workspace must be a strict subset of the features
+        assert all(p.cols.shape[0] < g.num_nodes for p in oc.parts)
+        got = spmm_out_of_core(oc, x, interpret=True)
+        assert got.dtype == x.dtype
+        np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+
+def test_out_of_core_k_hop_and_sink():
+    from sgl_tpu.kernels import k_hop_out_of_core, prepare_out_of_core
+    from sgl_tpu.kernels.pallas_spmm import CHUNK
+    from sgl_tpu.ops.graph_ops import LaplacianGraphOp
+
+    g = random_graph(n=500, avg_deg=8, d=8, seed=23)
+    op = LaplacianGraphOp(3)
+    want = np.asarray(op.propagate(g, g.x, backend="segment"))
+    oc = prepare_out_of_core(
+        symmetric_normalized_weights(g), max_edges_per_part=2 * CHUNK
+    )
+    hops = k_hop_out_of_core(oc, np.asarray(g.x), 3, interpret=True)
+    np.testing.assert_allclose(np.stack(hops), want, rtol=2e-4, atol=2e-5)
+
+    sunk = {}
+    out = k_hop_out_of_core(
+        oc, np.asarray(g.x), 3,
+        hop_sink=lambda k, arr: sunk.__setitem__(k, arr), interpret=True
+    )
+    assert out is None and sorted(sunk) == [0, 1, 2, 3]
+    np.testing.assert_allclose(np.stack([sunk[k] for k in range(4)]), want,
+                               rtol=2e-4, atol=2e-5)
+
+
+def test_out_of_core_bf16_single_pass():
+    from sgl_tpu.kernels import prepare_out_of_core, spmm_out_of_core
+    from sgl_tpu.kernels.pallas_spmm import CHUNK
+
+    g = random_graph(n=400, avg_deg=8, d=8, seed=29)
+    adj = symmetric_normalized_weights(g)
+    x32 = np.asarray(g.x)
+    oc = prepare_out_of_core(adj, max_edges_per_part=2 * CHUNK)
+    want = spmm_out_of_core(oc, x32, interpret=True)
+    got = spmm_out_of_core(oc, x32.astype(jnp.bfloat16), interpret=True)
+    assert got.dtype == jnp.bfloat16
+    np.testing.assert_allclose(
+        got.astype(np.float32), want, rtol=3e-2, atol=3e-2
+    )
+
+
+def test_out_of_core_device_edge_cache():
+    from sgl_tpu.kernels import prepare_out_of_core, spmm_out_of_core
+    from sgl_tpu.kernels.pallas_spmm import CHUNK
+
+    g = random_graph(n=400, avg_deg=8, d=8, seed=31)
+    adj = symmetric_normalized_weights(g)
+    x = np.asarray(g.x)
+    oc = prepare_out_of_core(adj, max_edges_per_part=2 * CHUNK)
+    first = spmm_out_of_core(oc, x, interpret=True)  # populates the cache
+    assert len(oc._dev_edges) == oc.num_parts
+    second = spmm_out_of_core(oc, x, interpret=True)  # served from cache
+    np.testing.assert_array_equal(first, second)
+    oc2 = prepare_out_of_core(adj, max_edges_per_part=2 * CHUNK)
+    uncached = spmm_out_of_core(oc2, x, interpret=True, max_device_edge_bytes=0)
+    assert len(oc2._dev_edges) == 0
+    np.testing.assert_array_equal(first, uncached)
