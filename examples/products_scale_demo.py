@@ -20,8 +20,67 @@ import jax.numpy as jnp
 import numpy as np
 
 
+def _train_at_scale(hop_stack, num_classes=47, hidden=512, layers=3,
+                    warmup=2, measured=6, seed=0):
+    """GAMLP (JK attention) full-batch training on the precomputed hop
+    stack — the reference's ogbn-products config (hidden 512, 3 layers,
+    lr 0.1, wd 5e-5; ``/root/reference/examples/gamlp_products.py:13-17``)
+    at full products scale on one chip.  Labels are synthetic (this
+    environment has no network egress), so the measurement is step
+    throughput, not accuracy; training-dynamics parity vs the reference
+    is covered by tests/test_training_parity.py."""
+    import jax
+
+    from sgl_tpu.models.homo import GAMLP
+    from sgl_tpu.tasks.node_classification import _make_apply
+    from sgl_tpu.tasks.utils import adam_l2, init_train_state, make_train_step
+
+    from sgl_tpu.tasks.utils import make_eval_step
+
+    k1, n_nodes, d = hop_stack.shape
+    model = GAMLP(prop_steps=k1 - 1, feat_dim=d, hidden_dim=hidden,
+                  num_layers=layers, output_dim=num_classes)
+    model.processed_feature = hop_stack  # hop-major, as preprocess caches it
+    rng = jax.random.PRNGKey(seed)
+    params = model.init(rng)
+    state = init_train_state(rng, params, adam_l2(0.1, 5e-5))
+    train_step = make_train_step(_make_apply(model), adam_l2(0.1, 5e-5))
+    eval_step = make_eval_step(_make_apply(model))
+    # ogbn-products trains on ~196k of the 2.4M nodes (the official split);
+    # the full graph is touched only by the eval forward
+    np_rng = np.random.default_rng(seed)
+    tr_idx = jnp.asarray(
+        np_rng.choice(n_nodes, size=min(196_615, n_nodes), replace=False)
+    )
+    tr_feats = model.batch_input(tr_idx)
+    tr_labels = jnp.asarray(
+        np_rng.integers(0, num_classes, tr_idx.shape[0]), jnp.int32
+    )
+    tr_w = jnp.ones(tr_idx.shape[0], jnp.float32)
+    for _ in range(warmup):
+        state, loss, acc = train_step(state, tr_feats, tr_labels, tr_w)
+    jax.block_until_ready(loss)
+    t0 = time.time()
+    for _ in range(measured):
+        state, loss, acc = train_step(state, tr_feats, tr_labels, tr_w)
+    jax.block_until_ready(loss)
+    dt = (time.time() - t0) / measured
+    print(f"GAMLP train at scale: {tr_idx.shape[0]} train rows of "
+          f"{n_nodes}, hidden {hidden}, {layers} layers -> "
+          f"{dt * 1e3:.0f} ms/epoch ({1 / dt:.1f} epochs/s)")
+    all_labels = jnp.zeros(n_nodes, jnp.int32)
+    all_w = jnp.ones(n_nodes, jnp.float32)
+    c, t = eval_step(state.params, hop_stack, all_labels, all_w)
+    jax.block_until_ready(c)
+    t0 = time.time()
+    c, t = eval_step(state.params, hop_stack, all_labels, all_w)
+    jax.block_until_ready(c)
+    print(f"full-graph eval forward ({n_nodes} rows): "
+          f"{time.time() - t0:.2f}s")
+
+
 def main(n=2_400_000, avg_deg=25, d=100, hops=3, part_edges=6 << 20,
-         dtype=None, ooc=False):
+         dtype=None, ooc=False, train=False):
     from sgl_tpu.datasets.synthetic import random_power_law_graph
     from sgl_tpu.graph import symmetric_normalized_weights_host
     from sgl_tpu.kernels import prepare_chunked_parts, spmm_pallas_streaming
@@ -60,6 +119,10 @@ def main(n=2_400_000, avg_deg=25, d=100, hops=3, part_edges=6 << 20,
     steady = min(times[1:]) if len(times) > 1 else times[0]
     print(f"precompute: first hop {times[0]:.1f}s (compile+upload), "
           f"steady {steady:.2f}s/hop -> {nnz / steady / 1e9:.3f} G edges/s")
+    if train:
+        stack = jnp.stack(hops_out)
+        hops_out.clear()  # free the unstacked hop copies before training
+        _train_at_scale(stack)
 
 
 def _main_ooc(g, adj, d, hops, part_edges, dtype, t0):
@@ -92,4 +155,4 @@ def _main_ooc(g, adj, d, hops, part_edges, dtype, t0):
 
 if __name__ == "__main__":
     main(dtype=jnp.bfloat16 if "--bf16" in sys.argv else None,
-         ooc="--ooc" in sys.argv)
+         ooc="--ooc" in sys.argv, train="--train" in sys.argv)

@@ -129,6 +129,51 @@ class GraphOp:
             adj, _as_compute_dtype(x), self.prop_steps, backend=backend
         )
 
+    def propagate_out_of_core(
+        self,
+        graph: Graph,
+        x_host,
+        max_edges_per_part: int = 6 << 20,
+        hop_sink=None,
+        interpret: bool = False,
+    ):
+        """``[X, AX, …]`` for graphs whose features/edges exceed HBM.
+
+        Host-resident end to end (see ``kernels/spmm_ooc.py``): the
+        normalized adjacency is built on the host (huge graphs route to
+        the native builder automatically), laid out into out-of-core
+        parts once (cached per graph), and each hop streams through the
+        chip.  Returns a list of numpy hops, or hands each hop to
+        ``hop_sink(k, arr)`` (e.g. a memmap writer) and returns None.
+        """
+        from sgl_tpu.kernels.spmm_ooc import (
+            OutOfCoreAdj,
+            k_hop_out_of_core,
+            prepare_out_of_core,
+        )
+
+        ref, cached_backend, cached = self._adj_cache
+        if (
+            ref is not None
+            and ref() is graph
+            and cached_backend == "ooc"
+            and isinstance(cached, OutOfCoreAdj)
+        ):
+            oc = cached
+        else:
+            oc = prepare_out_of_core(
+                self.construct_adj(graph), max_edges_per_part=max_edges_per_part
+            )
+            try:
+                import weakref
+
+                self._adj_cache = (weakref.ref(graph), "ooc", oc)
+            except TypeError:
+                pass
+        return k_hop_out_of_core(
+            oc, x_host, self.prop_steps, hop_sink=hop_sink, interpret=interpret
+        )
+
     def propagate_aggregate(
         self, graph: Graph, x, weights, backend: Optional[str] = None
     ) -> jnp.ndarray:

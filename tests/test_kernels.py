@@ -362,3 +362,17 @@ def test_out_of_core_device_edge_cache():
     uncached = spmm_out_of_core(oc2, x, interpret=True, max_device_edge_bytes=0)
     assert len(oc2._dev_edges) == 0
     np.testing.assert_array_equal(first, uncached)
+
+
+def test_graph_op_propagate_out_of_core():
+    from sgl_tpu.ops.graph_ops import LaplacianGraphOp
+
+    g = random_graph(n=400, avg_deg=8, d=8, seed=37)
+    op = LaplacianGraphOp(2)
+    want = np.asarray(op.propagate(g, g.x, backend="segment"))
+    got = op.propagate_out_of_core(g, np.asarray(g.x), interpret=True)
+    np.testing.assert_allclose(np.stack(got), want, rtol=2e-4, atol=2e-5)
+    # layout is cached per graph: second call reuses the prepared parts
+    oc_first = op._adj_cache[2]
+    op.propagate_out_of_core(g, np.asarray(g.x), interpret=True)
+    assert op._adj_cache[2] is oc_first
