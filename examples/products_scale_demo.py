@@ -57,26 +57,38 @@ def _train_at_scale(hop_stack, num_classes=47, hidden=512, layers=3,
         np_rng.integers(0, num_classes, tr_idx.shape[0]), jnp.int32
     )
     tr_w = jnp.ones(tr_idx.shape[0], jnp.float32)
-    for _ in range(warmup):
-        state, loss, acc = train_step(state, tr_feats, tr_labels, tr_w)
-    jax.block_until_ready(loss)
-    t0 = time.time()
-    for _ in range(measured):
-        state, loss, acc = train_step(state, tr_feats, tr_labels, tr_w)
-    jax.block_until_ready(loss)
-    dt = (time.time() - t0) / measured
+    # slope timing: the tunneled dev backend's block_until_ready does not
+    # synchronize, so time k1 vs k2 chained steps ending in a forced
+    # scalar readback (same method as bench.py)
+    def run_train(k):
+        s = state
+        t0 = time.time()
+        for _ in range(k):
+            s, loss, acc = train_step(s, tr_feats, tr_labels, tr_w)
+        float(loss)
+        return time.time() - t0
+
+    run_train(warmup)  # compile
+    k1, k2 = 3, 3 + measured
+    dt = (run_train(k2) - run_train(k1)) / (k2 - k1)
     print(f"GAMLP train at scale: {tr_idx.shape[0]} train rows of "
           f"{n_nodes}, hidden {hidden}, {layers} layers -> "
-          f"{dt * 1e3:.0f} ms/epoch ({1 / dt:.1f} epochs/s)")
+          f"{dt * 1e3:.1f} ms/epoch ({1 / dt:.1f} epochs/s)")
+
     all_labels = jnp.zeros(n_nodes, jnp.int32)
     all_w = jnp.ones(n_nodes, jnp.float32)
-    c, t = eval_step(state.params, hop_stack, all_labels, all_w)
-    jax.block_until_ready(c)
-    t0 = time.time()
-    c, t = eval_step(state.params, hop_stack, all_labels, all_w)
-    jax.block_until_ready(c)
-    print(f"full-graph eval forward ({n_nodes} rows): "
-          f"{time.time() - t0:.2f}s")
+
+    def run_eval(k):
+        t0 = time.time()
+        for _ in range(k):
+            c, t = eval_step(state.params, hop_stack, all_labels, all_w)
+            float(c)  # serialize: eval has no loop-carried dependence
+        return time.time() - t0
+
+    run_eval(1)  # compile
+    dt_e = (run_eval(4) - run_eval(1)) / 3
+    print(f"full-graph eval forward ({n_nodes} rows): {dt_e * 1e3:.0f} ms "
+          f"(incl per-call dispatch)")
 
 
 def main(n=2_400_000, avg_deg=25, d=100, hops=3, part_edges=6 << 20,
