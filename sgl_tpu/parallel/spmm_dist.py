@@ -227,6 +227,12 @@ class DistChunkedAdj:
     order: Optional[jnp.ndarray] = None
     hub_in_ids: Optional[jnp.ndarray] = None  # [k_in] int32 (new ids)
     hub_in_m: Optional[jnp.ndarray] = None  # [k_in, P·block] f32
+    # (P, P, tiles) f32: 1 where the bucket emits chunks for the tile.
+    # With empty-tile skipping the kernel never writes an untouched tile's
+    # output block (it would stay uninitialized), so the ring body masks
+    # those rows to zero before accumulating.  None = legacy full-coverage
+    # layout (every tile chunked in every bucket).
+    tile_mask: Optional[jnp.ndarray] = None
 
     def tree_flatten(self):
         return (
@@ -240,15 +246,17 @@ class DistChunkedAdj:
             self.order,
             self.hub_in_ids,
             self.hub_in_m,
+            self.tile_mask,
         ), (self.num_nodes, self.block)
 
     @classmethod
     def tree_unflatten(cls, aux, leaves):
         (src, dst, w, chunk_tile, diag, hub_ids, hub_m, order,
-         hub_in_ids, hub_in_m) = leaves
+         hub_in_ids, hub_in_m, tile_mask) = leaves
         return cls(
             src, dst, w, chunk_tile, diag, hub_ids, hub_m, *aux,
             order=order, hub_in_ids=hub_in_ids, hub_in_m=hub_in_m,
+            tile_mask=tile_mask,
         )
 
     @property
@@ -266,6 +274,7 @@ def partition_adj_chunked(
     chunk: Optional[int] = None,
     shuffle: bool = True,
     shuffle_seed: int = 0,
+    skip_empty_tiles: bool = True,
 ) -> DistChunkedAdj:
     """Host-side partition into per-(owner, source-block) Pallas chunk
     layouts.  ``block`` is rounded up to the kernel's 128-row tile.
@@ -274,6 +283,12 @@ def partition_adj_chunked(
     (see :class:`DistChunkedAdj.order`): degree-ordered node ids cluster
     hub destinations into one tile/owner, and the single densest bucket
     sets every bucket's padded size.
+
+    ``skip_empty_tiles`` removes the per-tile coverage floor (the P≥16
+    residual: every bucket paying ≥1 chunk per output tile just so the
+    kernel initializes the tile's block).  Buckets emit chunks only for
+    tiles they actually touch; a (P, P, tiles) ``tile_mask`` zeroes the
+    uninitialized rows after the kernel.
     """
     from sgl_tpu.kernels.pallas_spmm import CHUNK, TILE_R, split_extras
 
@@ -341,6 +356,8 @@ def partition_adj_chunked(
         """Total slots for chunk size ``c``: every bucket pads to the
         DENSEST bucket's chunk count (the arrays are (P², e_b))."""
         pad_c = np.maximum(_round_up_arr_np(counts, c), c)
+        if skip_empty_tiles:
+            pad_c = np.where(counts > 0, pad_c, 0)
         return p * p * int(pad_c.sum(axis=1).max()), pad_c
 
     if chunk is None:
@@ -353,7 +370,7 @@ def partition_adj_chunked(
             key=lambda c: _layout_cost(c)[0],
         )
     padded = _layout_cost(chunk)[1]
-    c_max = int(padded.sum(axis=1).max()) // chunk
+    c_max = max(int(padded.sum(axis=1).max()) // chunk, 1)
     e_b = c_max * chunk
 
     out_src = np.zeros((p * p, e_b), np.int32)
@@ -364,17 +381,27 @@ def partition_adj_chunked(
     offs = np.concatenate(
         [np.zeros((p * p, 1), np.int64), np.cumsum(padded, axis=1)], axis=1
     )
-    # default dst/chunk_tile: pad trailing chunks with the LAST tile so the
-    # kernel's revisit logic never re-zeroes an earlier tile
+    # default dst/chunk_tile: pad trailing chunks with the bucket's LAST
+    # chunked tile so the kernel's revisit logic never re-zeroes an
+    # earlier tile (with empty-tile skipping the last chunked tile is the
+    # last VISITED one; a fully-empty bucket pads against tile 0, which
+    # the mask then zeroes)
     for bkt in range(p * p):
         ct = np.repeat(np.arange(tiles, dtype=np.int32), padded[bkt] // chunk)
         pad_chunks = c_max - ct.shape[0]
+        pad_tile = int(ct[-1]) if ct.shape[0] else 0
         out_ct[bkt] = np.concatenate(
-            [ct, np.full(pad_chunks, tiles - 1, np.int32)]
+            [ct, np.full(pad_chunks, pad_tile, np.int32)]
         )
         tile_idx = np.repeat(np.arange(tiles, dtype=np.int32), padded[bkt])
         out_dst[bkt, : tile_idx.shape[0]] = tile_idx * TILE_R
-        out_dst[bkt, tile_idx.shape[0] :] = (tiles - 1) * TILE_R
+        out_dst[bkt, tile_idx.shape[0] :] = pad_tile * TILE_R
+    tile_mask = None
+    if skip_empty_tiles:
+        # 1 where the kernel writes the tile's output block (visited
+        # tiles); unwritten blocks are uninitialized memory and must be
+        # masked out of the ring accumulation
+        tile_mask = (padded > 0).astype(np.float32)
 
     order = np.lexsort((l_dst, sblk, owner))
     src_s, w_s, owner_s, sblk_s, l_dst_s = (
@@ -408,6 +435,9 @@ def partition_adj_chunked(
         order=None if node_order is None else jnp.asarray(node_order),
         hub_in_ids=None if hub_in_ids is None else jnp.asarray(hub_in_ids),
         hub_in_m=None if hub_in_m is None else jnp.asarray(hub_in_m),
+        tile_mask=None if tile_mask is None else jnp.asarray(
+            tile_mask.reshape(p, p, tiles)
+        ),
     )
     _report_padding(out, "chunked")
     return out
@@ -451,6 +481,7 @@ def _ring_spmm_local_chunked(
     dst_b,
     w_b,
     ct_b,
+    mask_b,
     diag_l,
     hub_ids,
     hub_m_l,
@@ -465,12 +496,15 @@ def _ring_spmm_local_chunked(
     has_diag: bool,
     has_hub: bool,
     has_hub_in: bool,
+    has_mask: bool,
 ):
     """Per-device ring body running the Pallas one-hot MXU kernel per
     bucket (see :class:`DistChunkedAdj`)."""
-    from sgl_tpu.kernels.pallas_spmm import _round_up, _segment_reduce_mxu
+    from sgl_tpu.kernels.pallas_spmm import TILE_R, _round_up, _segment_reduce_mxu
 
-    src_b, dst_b, w_b, ct_b = src_b[0], dst_b[0], w_b[0], ct_b[0]
+    src_b, dst_b, w_b, ct_b, mask_b = (
+        src_b[0], dst_b[0], w_b[0], ct_b[0], mask_b[0]
+    )
     p = jax.lax.axis_index(axis)
     perm = [(i, (i + 1) % parts) for i in range(parts)]
     d = x_local.shape[1]
@@ -491,13 +525,19 @@ def _ring_spmm_local_chunked(
         buf, y = carry
         b = jnp.mod(p - s, parts)  # source block currently held
         nxt = jax.lax.ppermute(buf, axis, perm)  # send early: overlaps SpMM
-        y = y + reduce_bucket(
+        out = reduce_bucket(
             buf,
             jnp.take(src_b, b, axis=0),
             jnp.take(dst_b, b, axis=0),
             jnp.take(w_b, b, axis=0),
             jnp.take(ct_b, b, axis=0),
         )
+        if has_mask:
+            # empty-tile skipping: unvisited tiles' output blocks are
+            # uninitialized — zero them before accumulating
+            rows = jnp.repeat(jnp.take(mask_b, b, axis=0), TILE_R)
+            out = out * rows[:, None]
+        y = y + out
         return (nxt, y), None
 
     y0 = jnp.zeros_like(x_local)
@@ -545,6 +585,7 @@ def make_dist_spmm(mesh: Mesh, axis: str = "graph", interpret: bool = False):
             has_diag = dadj.diag is not None
             has_hub = dadj.hub_ids is not None
             has_hub_in = dadj.hub_in_ids is not None
+            has_mask = dadj.tile_mask is not None
             body = functools.partial(
                 _ring_spmm_local_chunked,
                 axis=axis,
@@ -554,6 +595,7 @@ def make_dist_spmm(mesh: Mesh, axis: str = "graph", interpret: bool = False):
                 has_diag=has_diag,
                 has_hub=has_hub,
                 has_hub_in=has_hub_in,
+                has_mask=has_mask,
             )
             # absent extras become tiny dummies (shard_map wants arrays)
             diag = dadj.diag if has_diag else jnp.zeros(p * dadj.block, jnp.float32)
@@ -571,10 +613,16 @@ def make_dist_spmm(mesh: Mesh, axis: str = "graph", interpret: bool = False):
                 if has_hub_in
                 else jnp.zeros((1, p * dadj.block), jnp.float32)
             )
+            tile_mask = (
+                dadj.tile_mask
+                if has_mask
+                else jnp.ones((p, p, 1), jnp.float32)
+            )
             return jax.shard_map(
                 body,
                 mesh=mesh,
                 in_specs=(
+                    P(axis),
                     P(axis),
                     P(axis),
                     P(axis),
@@ -595,6 +643,7 @@ def make_dist_spmm(mesh: Mesh, axis: str = "graph", interpret: bool = False):
                 dadj.dst,
                 dadj.w,
                 dadj.chunk_tile,
+                tile_mask,
                 diag,
                 hub_ids,
                 hub_m,
