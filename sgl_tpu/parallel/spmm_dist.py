@@ -274,7 +274,7 @@ def partition_adj_chunked(
     chunk: Optional[int] = None,
     shuffle: bool = True,
     shuffle_seed: int = 0,
-    skip_empty_tiles: bool = True,
+    skip_empty_tiles: bool = False,
 ) -> DistChunkedAdj:
     """Host-side partition into per-(owner, source-block) Pallas chunk
     layouts.  ``block`` is rounded up to the kernel's 128-row tile.
@@ -284,11 +284,15 @@ def partition_adj_chunked(
     hub destinations into one tile/owner, and the single densest bucket
     sets every bucket's padded size.
 
-    ``skip_empty_tiles`` removes the per-tile coverage floor (the P≥16
-    residual: every bucket paying ≥1 chunk per output tile just so the
-    kernel initializes the tile's block).  Buckets emit chunks only for
-    tiles they actually touch; a (P, P, tiles) ``tile_mask`` zeroes the
-    uninitialized rows after the kernel.
+    ``skip_empty_tiles`` (opt-in) lets buckets emit chunks only for tiles
+    they actually touch; a (P, P, tiles) ``tile_mask`` selects away the
+    then-uninitialized output rows after the kernel (``jnp.where``, never
+    arithmetic — NaN·0=NaN).  Measured finding (round 3, zipf graphs at
+    P=8..160, incl. the 100k-node table graph in docs/PERFORMANCE.md): it
+    saves ZERO slots, because the shared bucket size ``e_b`` is set by the
+    densest bucket, which always has full tile coverage on power-law
+    graphs — hence the default is off.  The per-tile coverage floor would
+    need a different attack (e.g. multi-tile chunks in the kernel).
     """
     from sgl_tpu.kernels.pallas_spmm import CHUNK, TILE_R, split_extras
 
@@ -534,9 +538,11 @@ def _ring_spmm_local_chunked(
         )
         if has_mask:
             # empty-tile skipping: unvisited tiles' output blocks are
-            # uninitialized — zero them before accumulating
+            # uninitialized memory (NaN in interpret mode, arbitrary on
+            # real HBM).  A multiply-mask CANNOT zero them (NaN*0=NaN,
+            # Inf*0=NaN) — select so the garbage is never an operand.
             rows = jnp.repeat(jnp.take(mask_b, b, axis=0), TILE_R)
-            out = out * rows[:, None]
+            out = jnp.where(rows[:, None] > 0, out, 0.0)
         y = y + out
         return (nxt, y), None
 
