@@ -235,6 +235,10 @@ def spmm_out_of_core(
     else:
         out[:] = 0
     cacheable = max(max_device_edge_bytes // max(oc.part_edge_nbytes(), 1), 0)
+    # the budget must hold across calls on a shared OutOfCoreAdj: evict
+    # entries an earlier, larger-budget call cached beyond this call's cap
+    for i in [i for i in oc._dev_edges if i >= cacheable]:
+        del oc._dev_edges[i]
 
     def flush(pending):
         dev, off, valid = pending

@@ -44,8 +44,13 @@ def _op_config_key(op) -> Tuple:
     for k, v in sorted(vars(op).items()):
         if k == "prop_steps" or k.startswith("_"):
             continue
-        if isinstance(v, (int, float, str, bool)):
+        if isinstance(v, (int, float, str, bool, type(None))):
             items.append((k, v))
+        else:
+            # non-scalar config (array, list, callable, ...): repr-based
+            # fallback so differently-configured ops never silently
+            # collide (current ops only carry scalars; this is the guard)
+            items.append((k, type(v).__name__, repr(v)))
     return (type(op).__name__, tuple(items))
 
 
@@ -66,17 +71,25 @@ class PropagationCache:
         self.misses = 0
         self.hops_computed = 0
 
-    def _key(self, graph, op, dtype) -> Tuple:
-        return (id(graph), _op_config_key(op), jnp.dtype(dtype or jnp.float32).name)
+    def _key(self, graph, x, op, dtype) -> Tuple:
+        # x identity is part of the key: SGAPModel.preprocess exposes a
+        # public x= argument, so two calls on the same graph may propagate
+        # different feature matrices
+        return (
+            id(graph), id(x), _op_config_key(op),
+            jnp.dtype(dtype or jnp.float32).name,
+        )
 
     def hops_for(
         self, graph, x, op, dtype=None
     ) -> Tuple[jnp.ndarray, float]:
         k = op.prop_steps
-        key = self._key(graph, op, dtype)
+        key = self._key(graph, x, op, dtype)
         ent = self._entries.get(key)
-        if ent is not None and ent["graph_ref"]() is not graph:
-            # id() was recycled after the old graph died — stale entry
+        if ent is not None and (
+            ent["graph_ref"]() is not graph or ent["x"] is not x
+        ):
+            # id() was recycled after the old graph/x died — stale entry
             del self._entries[key]
             ent = None
 
@@ -94,6 +107,10 @@ class PropagationCache:
             # reused by later suffix extensions (adj is prop_steps-free)
             self._entries[key] = {
                 "graph_ref": weakref.ref(graph),
+                # strong ref: guards id-recycling for x (jax arrays don't
+                # reliably support weakref) and costs no more than one
+                # cached hop slice
+                "x": x,
                 "op": copy.copy(op),
                 "hops": hops,
                 "per_hop_s": elapsed / max(k, 1),

@@ -362,6 +362,11 @@ def test_out_of_core_device_edge_cache():
     uncached = spmm_out_of_core(oc2, x, interpret=True, max_device_edge_bytes=0)
     assert len(oc2._dev_edges) == 0
     np.testing.assert_array_equal(first, uncached)
+    # a smaller budget on a later call evicts over-budget entries cached
+    # by an earlier, larger-budget call (the bound holds across calls)
+    shrunk = spmm_out_of_core(oc, x, interpret=True, max_device_edge_bytes=0)
+    assert len(oc._dev_edges) == 0
+    np.testing.assert_array_equal(first, shrunk)
 
 
 def test_graph_op_propagate_out_of_core():

@@ -197,6 +197,21 @@ def test_prop_cache_distinguishes_op_configs_and_dtype():
     assert cache.hits == 1 and h.dtype == jnp.float32
 
 
+def test_prop_cache_distinguishes_feature_matrices():
+    """Same graph, different x must never share hops (preprocess exposes a
+    public x= argument — ADVICE r2 medium: the key ignored x)."""
+    from sgl_tpu.ops.graph_ops import LaplacianGraphOp
+    from sgl_tpu.search import PropagationCache
+
+    cache = PropagationCache()
+    g, x = DS.graph, DS.x
+    x2 = np.asarray(x) * 2.0
+    h1, _ = cache.hops_for(g, x, LaplacianGraphOp(2))
+    h2, _ = cache.hops_for(g, x2, LaplacianGraphOp(2))
+    assert cache.misses == 2 and cache.hits == 0
+    np.testing.assert_allclose(np.asarray(h2), 2.0 * np.asarray(h1), atol=1e-5)
+
+
 def test_search_manager_with_cache_matches_without():
     from sgl_tpu.search import PropagationCache
 
