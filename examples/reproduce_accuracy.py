@@ -1,0 +1,149 @@
+"""One-command reproduction of the BASELINE §(c) accuracy bands.
+
+The build environment has zero egress, so the three real-dataset
+workloads below — the only BASELINE rows that have never been checked
+against real data — stand WIRE-READY: each downloads its dataset through
+the loaders' encoded ``raw_urls`` (``sgl_tpu/datasets/base.py``), runs
+the reference's shipped configuration, and compares the result against
+the externally published band.  Run it unchanged the day egress exists:
+
+    python examples/reproduce_accuracy.py [--root ./data/] [--workloads ...]
+
+Reference configs: ``/root/reference/examples/sgc_pubmed.py:5-9``,
+``gamlp_products.py:13-17``, ``nafs_link_predict.py:1-7``; bands from
+BASELINE.md §(c).  The full download→process→train→band flow is
+mock-network tested (tests/test_reproduce_accuracy.py).
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def run_sgc_pubmed(root: str, epochs: int = 200, split: str = "official"):
+    """SGC on pubmed (reference examples/sgc_pubmed.py:5-9)."""
+    from sgl_tpu.datasets import Planetoid
+    from sgl_tpu.models import SGC
+    from sgl_tpu.tasks import NodeClassification
+
+    ds = Planetoid("pubmed", root, split)
+    model = SGC(
+        prop_steps=3, feat_dim=ds.num_features, output_dim=ds.num_classes
+    )
+    return NodeClassification(
+        ds, model, lr=0.1, weight_decay=5e-5, epochs=epochs, verbose=False
+    ).test_acc
+
+
+def run_gamlp_products(root: str, epochs: int = 200, split: str = "official"):
+    """GAMLP on ogbn-products (reference examples/gamlp_products.py:13-17).
+
+    ``split`` is accepted for signature uniformity but OGB only ships the
+    official sales-ranking split, so it is always "official" here."""
+    from sgl_tpu.datasets import Ogbn
+    from sgl_tpu.models import GAMLP
+    from sgl_tpu.tasks import NodeClassification
+
+    ds = Ogbn("products", root, "official")
+    model = GAMLP(
+        prop_steps=3,
+        feat_dim=ds.num_features,
+        output_dim=ds.num_classes,
+        hidden_dim=512,
+        num_layers=3,
+    )
+    return NodeClassification(
+        ds, model, lr=0.1, weight_decay=5e-5, epochs=epochs, verbose=False,
+        train_batch_size=50000, eval_batch_size=100000,
+    ).test_acc
+
+
+def run_nafs_linkpred_pubmed(root: str, epochs: int = 0, split: str = "official"):
+    """Training-free NAFS link prediction on pubmed (reference
+    examples/nafs_link_predict.py:1-7); ``epochs`` unused."""
+    from sgl_tpu.datasets import Planetoid
+    from sgl_tpu.tasks import LinkPredictionNAFS
+
+    ds = Planetoid("pubmed", root, split)
+    return LinkPredictionNAFS(ds, hops=20, method="mean", verbose=False).test_roc_auc
+
+
+# workload -> (runner, metric name, (low, high) published band, provenance)
+WORKLOADS = {
+    "sgc_pubmed": (
+        run_sgc_pubmed, "test acc", (0.77, 0.82),
+        "SGC paper (ICML'19): 0.789-0.799",
+    ),
+    "gamlp_products": (
+        run_gamlp_products, "test acc", (0.82, 0.87),
+        "GAMLP paper (KDD'22): 0.8459",
+    ),
+    "nafs_linkpred_pubmed": (
+        run_nafs_linkpred_pubmed, "roc-auc", (0.93, 1.0),
+        "NAFS paper (ICML'22): matches/beats GAE (pubmed AUC ~0.964)",
+    ),
+}
+
+
+def main(
+    workloads=None,
+    root: str = "./data/",
+    epochs: int = 200,
+    split: str = "official",
+    check_bands: bool = True,
+):
+    """Run the selected workloads; return ``[(name, metric, value, in_band)]``.
+
+    ``split``/``epochs``/``check_bands`` exist so the mock-network test can
+    drive the identical flow on tiny fixtures; production defaults
+    reproduce the reference configs exactly.
+    """
+    rows = []
+    for name in workloads or list(WORKLOADS):
+        runner, metric, (lo, hi), provenance = WORKLOADS[name]
+        try:
+            value = float(runner(root, epochs=epochs, split=split))
+        except IOError as exc:
+            # dataset unreachable (offline / download failed): report and
+            # keep going so partial runs still produce their rows
+            print(f"[{name}] dataset unavailable: {exc}")
+            rows.append((name, metric, None, None))
+            continue
+        in_band = (lo <= value <= hi) if check_bands else None
+        rows.append((name, metric, value, in_band))
+    width = max(len(n) for n, *_ in rows)
+    print(f"{'workload':<{width}}  {'metric':<9} {'value':>7}  band          verdict")
+    for name, metric, value, in_band in rows:
+        lo, hi = WORKLOADS[name][2]
+        if value is None:
+            verdict, shown = "NO DATA", "      -"
+        else:
+            verdict = "-" if in_band is None else ("PASS" if in_band else "FAIL")
+            shown = f"{value:>7.4f}"
+        print(
+            f"{name:<{width}}  {metric:<9} {shown}  "
+            f"[{lo:.2f}, {hi:.2f}]  {verdict}"
+        )
+    return rows
+
+
+if __name__ == "__main__":
+    ap = argparse.ArgumentParser(description=__doc__.split("\n")[0])
+    ap.add_argument("--root", default="./data/")
+    ap.add_argument(
+        "--workloads", nargs="+", choices=list(WORKLOADS), default=None
+    )
+    ap.add_argument("--epochs", type=int, default=200)
+    ap.add_argument("--no-check", action="store_true",
+                    help="report values without band verdicts")
+    args = ap.parse_args()
+    results = main(
+        workloads=args.workloads, root=args.root, epochs=args.epochs,
+        check_bands=not args.no_check,
+    )
+    if any(in_band is False for *_, in_band in results):
+        sys.exit(1)
