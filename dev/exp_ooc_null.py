@@ -1,0 +1,119 @@
+"""Bound the out-of-core SpMM's NON-transfer overhead on the real chip.
+
+Round 2 measured the OOC path only against the dev tunnel's ~26 MB/s bulk
+bandwidth, so its 19-29 s/hop numbers price the tunnel, not the design
+(docs/PERFORMANCE.md "Out-of-core").  This experiment isolates what
+survives on a directly-attached host:
+
+* **null-transfer steady state** — the identical per-part jitted step
+  chain (real edges, shared device workspace, no feature H2D / readback
+  D2H), slope-timed across hop counts to cancel the tunnel's fixed
+  per-call dispatch;
+* **host gather** — ``x[p.cols]`` across all parts, pure numpy (on a real
+  host this overlaps the PCIe transfer; reported separately);
+* **per-hop byte volumes** — from the layout, priced at tunnel/PCIe BW.
+
+Run on the TPU (default env, nothing else running):
+
+    python dev/exp_ooc_null.py           # products config (2.4M/60M, 100d)
+    python dev/exp_ooc_null.py --small   # round-2 chip-validation config
+"""
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+
+def main(n=2_400_000, avg_deg=25, d=100, part_edges=6 << 20):
+    from sgl_tpu.datasets.synthetic import random_power_law_graph
+    from sgl_tpu.graph import symmetric_normalized_weights_host
+    from sgl_tpu.kernels import prepare_out_of_core, spmm_out_of_core
+
+    t0 = time.time()
+    g = random_power_law_graph(n, avg_deg, d, seed=0, pad_multiple=1 << 20)
+    adj = symmetric_normalized_weights_host(g)
+    oc = prepare_out_of_core(adj, max_edges_per_part=part_edges)
+    x = np.asarray(g.x)
+    nnz = int(np.sum(np.asarray(adj.w) != 0))
+    print(
+        f"layout: {oc.num_parts} parts, {nnz} edges, "
+        f"{oc.parts[0].cols.shape[0]} workspace rows/part "
+        f"({time.time() - t0:.1f}s to build)"
+    )
+
+    # -- per-hop byte volumes (from the layout) ---------------------------
+    bpe = np.dtype(x.dtype).itemsize
+    h2d = sum(p.cols.shape[0] * d * bpe for p in oc.parts)
+    d2h = sum(p.valid_rows * d * 4 for p in oc.parts)
+    edge_once = oc.part_edge_nbytes() * oc.num_parts  # one-time (cached)
+    print(
+        f"per-hop traffic: H2D workspaces {h2d / 1e9:.2f} GB, "
+        f"D2H outputs {d2h / 1e9:.2f} GB, edges (one-time) "
+        f"{edge_once / 1e9:.2f} GB"
+    )
+
+    # -- null-transfer steady state (slope across hop counts) -------------
+    def run_hops(k):
+        t0 = time.time()
+        for _ in range(k):
+            spmm_out_of_core(oc, x, null_transfer=True)
+        return time.time() - t0
+
+    run_hops(1)  # compile + edge/workspace upload
+    t_lo = min(run_hops(2) for _ in range(2))
+    t_hi = min(run_hops(6) for _ in range(2))
+    null_s = (t_hi - t_lo) / 4
+    print(
+        f"null-transfer steady state: {null_s:.3f} s/hop "
+        f"({nnz / null_s / 1e9:.3f} G edges/s; includes "
+        f"{oc.num_parts} per-part dispatches)"
+    )
+
+    # -- host gather (native OMP / numpy, overlappable with PCIe) ---------
+    from sgl_tpu.graph.native import gather_rows, native_available
+
+    def time_gather(fn):
+        fn(oc.parts[0])  # warm
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.time()
+            for p in oc.parts:
+                fn(p)
+            best = min(best, time.time() - t0)
+        return best
+
+    gather_np = time_gather(lambda p: np.take(x, p.cols, axis=0))
+    gather_s = gather_np
+    line = f"host gather: numpy {gather_np:.3f} s/hop"
+    if native_available():
+        gather_nat = time_gather(lambda p: gather_rows(x, p.cols))
+        gather_s = min(gather_s, gather_nat)
+        line += f", native OMP {gather_nat:.3f} s/hop ({os.cpu_count()} cores)"
+    print(line + f" (all {oc.num_parts} parts)")
+
+    # -- projection table --------------------------------------------------
+    tunnel_bw = 26e6
+    pcie_bw = 10e9
+    vol = h2d + d2h
+    print("\nprojection (steady s/hop at this config):")
+    print(f"  compute-only (measured null-transfer) : {null_s:8.3f}")
+    print(f"  + host gather (measured, serial)      : {null_s + gather_s:8.3f}")
+    for name, bw in [("tunnel ~26 MB/s", tunnel_bw), ("PCIe 10 GB/s", pcie_bw)]:
+        xfer = vol / bw
+        overlapped = max(xfer, null_s) + gather_s
+        serial = xfer + null_s + gather_s
+        print(
+            f"  {name:<22}: transfer {xfer:8.3f}  "
+            f"overlapped {overlapped:8.3f}  serial {serial:8.3f}"
+        )
+
+
+if __name__ == "__main__":
+    if "--small" in sys.argv:
+        main(n=500_000, avg_deg=20, d=100, part_edges=6 << 20)
+    else:
+        main()

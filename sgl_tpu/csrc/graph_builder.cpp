@@ -96,6 +96,20 @@ void sgl_compute_degrees(const int32_t* src, const float* val, int64_t n_edges,
   }
 }
 
+// Parallel row gather: out[i] = x[idx[i]] for row_bytes-wide rows.
+// dtype-agnostic (memcpy); the hot host-side op of the out-of-core SpMM
+// (kernels/spmm_ooc.py) — numpy's fancy indexing is single-threaded, this
+// is memory-bound and scales with cores on production hosts.
+void sgl_gather_rows(const char* x, int64_t row_bytes, const int32_t* idx,
+                     int64_t n_idx, char* out) {
+#pragma omp parallel for schedule(static)
+  for (int64_t i = 0; i < n_idx; ++i) {
+    std::memcpy(out + i * row_bytes,
+                x + static_cast<int64_t>(idx[i]) * row_bytes,
+                static_cast<size_t>(row_bytes));
+  }
+}
+
 void sgl_normalized_weights(const int32_t* src, const int32_t* dst,
                             const float* val, int64_t n_edges,
                             const float* deg, float r, float* out_w) {

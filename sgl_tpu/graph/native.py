@@ -69,6 +69,9 @@ def _load() -> Optional[ctypes.CDLL]:
     lib.sgl_normalized_weights.argtypes = [
         i32, i32, f32, ctypes.c_int64, f32, ctypes.c_float, f32,
     ]
+    lib.sgl_gather_rows.argtypes = [
+        ctypes.c_void_p, ctypes.c_int64, i32, ctypes.c_int64, ctypes.c_void_p,
+    ]
     lib.sgl_csv_load.argtypes = [
         ctypes.c_char_p,
         ctypes.c_int,
@@ -134,6 +137,29 @@ def normalized_weights(
         return (left[dst] * val * right[src]).astype(np.float32)
     out = np.empty(src.shape[0], np.float32)
     lib.sgl_normalized_weights(src, dst, val, src.shape[0], deg, r, out)
+    return out
+
+
+def gather_rows(
+    x: np.ndarray, idx: np.ndarray, out: Optional[np.ndarray] = None
+) -> np.ndarray:
+    """``x[idx]`` as a parallel native row gather (numpy ``take`` fallback).
+
+    The hot host-side op of the out-of-core SpMM: building each part's
+    column workspace reads the full feature volume once per hop, and
+    numpy's fancy indexing is single-threaded."""
+    x = np.ascontiguousarray(x)
+    idx = np.ascontiguousarray(idx, np.int32)
+    lib = _load()
+    if lib is None:
+        return np.take(x, idx, axis=0, out=out)
+    if out is None:
+        out = np.empty((idx.shape[0],) + x.shape[1:], x.dtype)
+    row_bytes = x.nbytes // max(x.shape[0], 1)
+    lib.sgl_gather_rows(
+        x.ctypes.data_as(ctypes.c_void_p), row_bytes, idx, idx.shape[0],
+        out.ctypes.data_as(ctypes.c_void_p),
+    )
     return out
 
 

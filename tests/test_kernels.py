@@ -369,6 +369,34 @@ def test_out_of_core_device_edge_cache():
     np.testing.assert_array_equal(first, shrunk)
 
 
+def test_out_of_core_null_transfer_mode():
+    """The measurement mode runs the same jitted step chain against one
+    shared device workspace, skips host traffic, and leaves the real
+    path untouched (its return value is NOT the SpMM result)."""
+    from sgl_tpu.kernels import prepare_out_of_core, spmm_out_of_core
+    from sgl_tpu.kernels.pallas_spmm import CHUNK
+
+    g = random_graph(n=400, avg_deg=8, d=8, seed=31)
+    adj = symmetric_normalized_weights(g)
+    x = np.asarray(g.x)
+    oc = prepare_out_of_core(adj, max_edges_per_part=2 * CHUNK)
+    assert oc.num_parts > 1
+    spmm_out_of_core(oc, x, interpret=True, null_transfer=True)
+    assert len(oc._dev_ws) == 1  # one shared workspace, not one per part
+    ws = next(iter(oc._dev_ws.values()))
+    spmm_out_of_core(oc, x, interpret=True, null_transfer=True)
+    assert next(iter(oc._dev_ws.values())) is ws  # reused across calls
+    # the real path afterwards is still exact
+    real = spmm_out_of_core(oc, x, interpret=True)
+    import scipy.sparse as sp
+
+    coo = sp.coo_matrix(
+        (np.asarray(adj.w), (np.asarray(adj.dst), np.asarray(adj.src))),
+        shape=(adj.num_nodes, adj.num_nodes),
+    )
+    np.testing.assert_allclose(real, coo @ x, rtol=1e-4, atol=1e-5)
+
+
 def test_graph_op_propagate_out_of_core():
     from sgl_tpu.ops.graph_ops import LaplacianGraphOp
 

@@ -144,3 +144,23 @@ class TestNativeCsvLoader:
 
         out = read_csv_gz(str(p), np.float64)
         np.testing.assert_array_equal(out, np.eye(3))
+
+
+def test_gather_rows_matches_numpy():
+    """Native parallel row gather == x[idx] for several dtypes/widths
+    (the out-of-core workspace builder's hot op)."""
+    from sgl_tpu.graph import native
+
+    rng = np.random.default_rng(5)
+    for dtype, d in [(np.float32, 7), (np.float32, 128), (np.float16, 33),
+                     (np.int32, 5)]:
+        x = (rng.normal(size=(300, d)) * 10).astype(dtype)
+        idx = rng.integers(0, 300, 450).astype(np.int32)
+        np.testing.assert_array_equal(native.gather_rows(x, idx), x[idx])
+    # out= reuse
+    x = rng.normal(size=(100, 8)).astype(np.float32)
+    idx = rng.integers(0, 100, 64).astype(np.int32)
+    out = np.empty((64, 8), np.float32)
+    got = native.gather_rows(x, idx, out=out)
+    assert got is out
+    np.testing.assert_array_equal(out, x[idx])
