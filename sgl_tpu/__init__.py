@@ -17,4 +17,10 @@ the compute path is built on
 
 __version__ = "0.1.0"
 
+from sgl_tpu.utils.compile_cache import enable_compilation_cache  # noqa: F401
+
+# persistent XLA compile cache (NAS compiles dominate wall-clock; see
+# utils/compile_cache.py) — disable with SGL_TPU_COMPILE_CACHE=0
+enable_compilation_cache()
+
 from sgl_tpu.graph import Graph  # noqa: F401

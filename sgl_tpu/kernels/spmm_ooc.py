@@ -212,6 +212,303 @@ def _ooc_step(src, dst, w, chunk_tile, xw, n_rows: int, interpret: bool = False)
     return out[:, :d]
 
 
+@dataclasses.dataclass(frozen=True)
+class OocSubPart:
+    """One (dst-part, src-block) cell of the 2-D layout."""
+
+    src: np.ndarray  # (E_b,) int32, block-relative (src - block_lo)
+    dst: np.ndarray  # (E_b,) int32, part-local rows
+    w: np.ndarray  # (E_b,) float32
+    chunk_tile: np.ndarray  # (C,) int32, part-local, non-decreasing
+    tile_mask: np.ndarray  # (n_tiles,) uint8 — tiles the kernel writes
+    n_edges: int  # real edges (0 => skip the dispatch entirely)
+
+
+@dataclasses.dataclass
+class OutOfCoreAdj2D:
+    """2-D (dst-part × src-block) out-of-core layout.
+
+    The 1-D layout's unique-column workspaces degrade on power-law graphs
+    (hub sources reach every dst range, so each part's workspace covers
+    ~all of x: measured 10× per-hop H2D duplication at the products
+    config, and a ~N-row workspace cannot fit HBM at papers100M scale —
+    docs/PERFORMANCE.md "Out-of-core").  Here the workspace of column
+    block ``b`` is the CONTIGUOUS slice ``x[b·sb:(b+1)·sb]`` — no host
+    gather, no index remap beyond a subtraction — and the block loop runs
+    OUTSIDE the part loop, so each block uploads once per accumulator
+    group: per-hop H2D = ``ceil(P/G)·N·d`` bytes, = one feature volume
+    when every part's accumulator fits in HBM together.
+    """
+
+    num_nodes: int
+    n_rows: int  # uniform per-part output rows
+    block_rows: int  # uniform src-block workspace rows (TILE_R-padded)
+    num_blocks: int
+    row_offsets: List[int]  # global row of each part's local row 0
+    valid_rows: List[int]  # real rows per part
+    parts: List[List[OocSubPart]]  # [part][block]
+    diag: Optional[np.ndarray]
+    _dev_edges: dict = dataclasses.field(default_factory=dict, repr=False)
+
+    @property
+    def num_parts(self) -> int:
+        return len(self.parts)
+
+    def subpart_edge_nbytes(self) -> int:
+        s = self.parts[0][0]
+        return int(
+            s.src.nbytes + s.dst.nbytes + s.w.nbytes + s.chunk_tile.nbytes
+            + s.tile_mask.nbytes
+        )
+
+
+def prepare_out_of_core_2d(
+    adj,
+    max_edges_per_part: int = 6 << 20,
+    src_blocks: int = 8,
+    *,
+    split_diag: bool = True,
+    chunk: Optional[int] = None,
+) -> OutOfCoreAdj2D:
+    """Build the 2-D out-of-core layout (see :class:`OutOfCoreAdj2D`).
+
+    ``src_blocks`` sets the column-block count: block workspaces are
+    ``ceil(n/src_blocks)`` rows, so pick it to fit
+    ``block_rows × d × itemsize`` (plus one subpart's message buffers)
+    in device memory.  Empty (part, block) cells cost nothing — their
+    dispatch is skipped; partially-empty cells skip their untouched
+    tiles via a per-subpart tile mask (a ``jnp.where`` select, never
+    arithmetic on uninitialized memory)."""
+    if isinstance(adj, SparseAdj):
+        src, dst, w, n = adj.src, adj.dst, adj.w, adj.num_nodes
+    else:
+        src, dst, w, n = adj
+    src = np.asarray(src, np.int64)
+    dst = np.asarray(dst, np.int64)
+    w = np.asarray(w, np.float32)
+    keep = w != 0
+    src, dst, w = src[keep], dst[keep], w[keep]
+
+    diag = None
+    if split_diag:
+        loop = src == dst
+        if loop.any():
+            diag = np.zeros(n, np.float32)
+            np.add.at(diag, dst[loop], w[loop])
+            src, dst, w = src[~loop], dst[~loop], w[~loop]
+
+    chunk = chunk or CHUNK
+    k = max(int(src_blocks), 1)
+    sb = _round_up(-(-n // k), TILE_R)
+
+    # dst parts on TILE boundaries, balanced by edge count
+    n_tiles_total = _round_up(n, TILE_R) // TILE_R
+    tile_of_all = dst // TILE_R
+    tile_counts = np.bincount(tile_of_all, minlength=n_tiles_total)
+    cum = np.cumsum(tile_counts)
+    n_parts = max(-(-int(cum[-1]) // max_edges_per_part), 1)
+    targets = np.linspace(0, cum[-1], n_parts + 1)[1:-1]
+    bounds = [0] + sorted(set(np.searchsorted(cum, targets).tolist() + [])) + [n_tiles_total]
+    bounds = sorted(set(b for b in bounds))
+    if bounds[-1] != n_tiles_total:
+        bounds.append(n_tiles_total)
+    n_parts = len(bounds) - 1
+    n_tiles = max(hi - lo for lo, hi in zip(bounds[:-1], bounds[1:]))
+    n_rows = n_tiles * TILE_R
+
+    # (part, block) bucket of every edge, then one lexsort: the subpart
+    # loop below is pure slicing
+    part_of = np.searchsorted(np.asarray(bounds[1:]), tile_of_all, side="right")
+    block_of = src // sb
+    order = np.lexsort((dst, block_of, part_of))
+    src, dst, w = src[order], dst[order], w[order]
+    part_s, block_s = part_of[order], block_of[order]
+    cell = part_s * k + block_s
+    cell_counts = np.bincount(cell, minlength=n_parts * k)
+    cell_starts = np.concatenate([[0], np.cumsum(cell_counts)])
+
+    # first pass: per-subpart padded chunk counts -> global c_max
+    def _subpart_padded(lo, hi, t_lo):
+        tiles = (dst[lo:hi] // TILE_R) - t_lo
+        counts = np.bincount(tiles, minlength=n_tiles)
+        padded = np.where(counts > 0, _round_up_arr_np_local(counts, chunk), 0)
+        return counts, padded
+
+    def _round_up_arr_np_local(a, m):
+        return ((a + m - 1) // m) * m
+
+    all_padded = []
+    for p in range(n_parts):
+        t_lo = bounds[p]
+        for b in range(k):
+            i = p * k + b
+            all_padded.append(
+                _subpart_padded(cell_starts[i], cell_starts[i + 1], t_lo)
+            )
+    c_max = max(
+        (int(padded.sum()) // chunk for _, padded in all_padded), default=1
+    )
+    c_max = max(c_max, 1)
+    e_b = c_max * chunk
+
+    parts: List[List[OocSubPart]] = []
+    real_edges = int(src.shape[0])
+    for p in range(n_parts):
+        t_lo = bounds[p]
+        row = []
+        for b in range(k):
+            i = p * k + b
+            lo, hi = int(cell_starts[i]), int(cell_starts[i + 1])
+            counts, padded = all_padded[i]
+            mask = (counts > 0).astype(np.uint8)
+            offs = np.concatenate([[0], np.cumsum(padded)])
+            o_src = np.zeros(e_b, np.int32)
+            o_w = np.zeros(e_b, np.float32)
+            # visited tiles in order; trailing pad chunks repeat the LAST
+            # visited tile (never re-zeroes an earlier tile)
+            vis = np.nonzero(counts)[0]
+            if vis.size:
+                ct = np.repeat(vis.astype(np.int32), padded[vis] // chunk)
+                pad_tile = int(vis[-1])
+            else:
+                ct = np.zeros(0, np.int32)
+                pad_tile = 0
+            o_ct = np.concatenate(
+                [ct, np.full(c_max - ct.shape[0], pad_tile, np.int32)]
+            )
+            o_dst = np.empty(e_b, np.int64)
+            tile_fill = np.repeat(np.arange(n_tiles), padded)
+            o_dst[: tile_fill.shape[0]] = tile_fill * TILE_R
+            o_dst[tile_fill.shape[0]:] = pad_tile * TILE_R
+            if hi > lo:
+                d_loc = dst[lo:hi] - t_lo * TILE_R
+                tiles = d_loc // TILE_R
+                starts = np.concatenate([[0], np.cumsum(counts)])
+                pos = offs[tiles] + (np.arange(hi - lo) - starts[tiles])
+                o_src[pos] = (src[lo:hi] - b * sb).astype(np.int32)
+                o_dst[pos] = d_loc
+                o_w[pos] = w[lo:hi]
+            row.append(
+                OocSubPart(
+                    o_src, o_dst.astype(np.int32), o_w, o_ct, mask, hi - lo
+                )
+            )
+        parts.append(row)
+
+    slots = sum(1 for row in parts for s in row if s.n_edges) * e_b
+    logger.info(
+        "2-D out-of-core layout: %d parts x %d blocks (%d non-empty cells), "
+        "%d real edges in %d slots (%.2fx padding), block workspace %d "
+        "rows, part output %d rows",
+        n_parts, k, sum(1 for row in parts for s in row if s.n_edges),
+        real_edges, slots, slots / max(real_edges, 1), sb, n_rows,
+    )
+    return OutOfCoreAdj2D(
+        num_nodes=n,
+        n_rows=n_rows,
+        block_rows=sb,
+        num_blocks=k,
+        row_offsets=[bounds[p] * TILE_R for p in range(n_parts)],
+        valid_rows=[
+            min((bounds[p + 1] - bounds[p]) * TILE_R, n - bounds[p] * TILE_R)
+            for p in range(n_parts)
+        ],
+        parts=parts,
+        diag=diag,
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("n_rows", "interpret"))
+def _ooc_step_2d(src, dst, w, chunk_tile, tile_mask, xw, acc,
+                 n_rows: int, interpret: bool = False):
+    """One (part, block) cell: gather from the block workspace, Pallas MXU
+    segment reduce, select away unvisited tiles, accumulate."""
+    d = xw.shape[1]
+    d_pad = _round_up(d, 128)
+    xp = xw if d_pad == d else jnp.pad(xw, ((0, 0), (0, d_pad - d)))
+    single = xw.dtype == jnp.bfloat16
+    msgs = jnp.take(xp, src, axis=0).astype(jnp.float32) * w[:, None]
+    hi = msgs.astype(jnp.bfloat16)
+    lo = None if single else (msgs - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    out = _segment_reduce_mxu(
+        hi, lo, dst, chunk_tile, num_nodes=n_rows, interpret=interpret
+    )
+    rows = jnp.repeat(tile_mask.astype(jnp.bool_), TILE_R)
+    # select, never multiply: unvisited tiles are uninitialized memory
+    return acc + jnp.where(rows[:, None], out[:, :d], 0.0)
+
+
+def spmm_out_of_core_2d(
+    oc: OutOfCoreAdj2D,
+    x_host: np.ndarray,
+    out: Optional[np.ndarray] = None,
+    interpret: bool = False,
+    max_device_edge_bytes: int = 4 << 30,
+    max_device_acc_bytes: int = 2 << 30,
+) -> np.ndarray:
+    """``y = adj @ x`` via the 2-D layout: block workspaces are contiguous
+    slices of ``x`` (no host gather), each uploaded once per accumulator
+    group.  See :class:`OutOfCoreAdj2D`."""
+    x_host = np.ascontiguousarray(x_host)
+    d = x_host.shape[1]
+    if out is None:
+        out = np.zeros((oc.num_nodes, d), x_host.dtype)
+    else:
+        out[:] = 0
+    acc_bytes = oc.n_rows * d * 4
+    group = max(int(max_device_acc_bytes // max(acc_bytes, 1)), 1)
+    cacheable = max(
+        max_device_edge_bytes // max(oc.subpart_edge_nbytes(), 1), 0
+    )
+    for i in [key for key in oc._dev_edges if key[0] * oc.num_blocks + key[1] >= cacheable]:
+        del oc._dev_edges[i]
+
+    n = oc.num_nodes
+    sb = oc.block_rows
+    for g_lo in range(0, oc.num_parts, group):
+        g = range(g_lo, min(g_lo + group, oc.num_parts))
+        accs = {p: jnp.zeros((oc.n_rows, d), jnp.float32) for p in g}
+        for b in range(oc.num_blocks):
+            lo, hi = b * sb, min((b + 1) * sb, n)
+            xw = x_host[lo:hi]
+            if hi - lo < sb:  # last block pads to the uniform shape
+                xw = np.pad(xw, ((0, sb - (hi - lo)), (0, 0)))
+            xw_dev = None  # upload lazily: skip if no cell in g needs it
+            for p in g:
+                s = oc.parts[p][b]
+                if s.n_edges == 0:
+                    continue
+                key = (p, b)
+                edges = oc._dev_edges.get(key)
+                if edges is None:
+                    edges = (
+                        jnp.asarray(s.src), jnp.asarray(s.dst),
+                        jnp.asarray(s.w), jnp.asarray(s.chunk_tile),
+                        jnp.asarray(s.tile_mask),
+                    )
+                    if p * oc.num_blocks + b < cacheable:
+                        oc._dev_edges[key] = edges
+                if xw_dev is None:
+                    xw_dev = jnp.asarray(xw)
+                accs[p] = _ooc_step_2d(
+                    *edges, xw_dev, accs[p], n_rows=oc.n_rows,
+                    interpret=interpret,
+                )
+        for p in g:
+            off, valid = oc.row_offsets[p], oc.valid_rows[p]
+            out[off:off + valid] = np.asarray(
+                accs[p][:valid]
+            ).astype(out.dtype)
+
+    if oc.diag is not None:
+        for lo in range(0, oc.num_nodes, _DIAG_WINDOW):
+            hi = min(lo + _DIAG_WINDOW, oc.num_nodes)
+            out[lo:hi] += (
+                oc.diag[lo:hi, None] * x_host[lo:hi]
+            ).astype(out.dtype)
+    return out
+
+
 _DIAG_WINDOW = 1 << 20  # host rows per diag-apply block (bounds temp memory)
 
 
@@ -314,7 +611,7 @@ def spmm_out_of_core(
 
 
 def k_hop_out_of_core(
-    oc: OutOfCoreAdj,
+    oc,
     x_host: np.ndarray,
     prop_steps: int,
     hop_sink: Optional[Callable[[int, np.ndarray], None]] = None,
@@ -323,10 +620,17 @@ def k_hop_out_of_core(
     """``[X, AX, A²X, …]`` with every hop host-resident.
 
     Mirrors ``k_hop_propagate`` (``ops/graph_ops.py``) for graphs beyond
-    HBM.  With ``hop_sink(k, arr)`` given, each hop is handed off (e.g.
-    written to a memmap) instead of retained, so peak host memory is two
-    hop matrices; otherwise returns the full hop list.
+    HBM; ``oc`` is an :class:`OutOfCoreAdj` (1-D unique-cols layout) or
+    an :class:`OutOfCoreAdj2D` (src-block layout).  With
+    ``hop_sink(k, arr)`` given, each hop is handed off (e.g. written to
+    a memmap) instead of retained, so peak host memory is two hop
+    matrices; otherwise returns the full hop list.
     """
+    spmm = (
+        spmm_out_of_core_2d
+        if isinstance(oc, OutOfCoreAdj2D)
+        else spmm_out_of_core
+    )
     hops = None
     if hop_sink is None:
         hops = [np.asarray(x_host)]
@@ -334,7 +638,7 @@ def k_hop_out_of_core(
         hop_sink(0, np.asarray(x_host))
     cur = np.asarray(x_host)
     for k in range(1, prop_steps + 1):
-        cur = spmm_out_of_core(oc, cur, interpret=interpret)
+        cur = spmm(oc, cur, interpret=interpret)
         if hop_sink is None:
             hops.append(cur)
         else:

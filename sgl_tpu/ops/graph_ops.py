@@ -136,6 +136,8 @@ class GraphOp:
         max_edges_per_part: int = 6 << 20,
         hop_sink=None,
         interpret: bool = False,
+        layout: str = "1d",
+        src_blocks: int = 8,
     ):
         """``[X, AX, …]`` for graphs whose features/edges exceed HBM.
 
@@ -145,25 +147,43 @@ class GraphOp:
         parts once (cached per graph), and each hop streams through the
         chip.  Returns a list of numpy hops, or hands each hop to
         ``hop_sink(k, arr)`` (e.g. a memmap writer) and returns None.
+
+        ``layout="2d"`` uses the src-block layout (contiguous column
+        workspaces, no host gather — the papers100M-regime choice where a
+        unique-column workspace cannot fit HBM; ``src_blocks`` bounds the
+        workspace rows at ``ceil(N / src_blocks)``).
         """
         from sgl_tpu.kernels.spmm_ooc import (
             OutOfCoreAdj,
+            OutOfCoreAdj2D,
             k_hop_out_of_core,
             prepare_out_of_core,
+            prepare_out_of_core_2d,
         )
 
+        if layout not in ("1d", "2d"):
+            raise ValueError("layout must be '1d' or '2d'")
+        want_cls = OutOfCoreAdj2D if layout == "2d" else OutOfCoreAdj
         ref, cached_backend, cached = self._adj_cache
         if (
             ref is not None
             and ref() is graph
             and cached_backend == "ooc"
-            and isinstance(cached, OutOfCoreAdj)
+            and isinstance(cached, want_cls)
         ):
             oc = cached
         else:
-            oc = prepare_out_of_core(
-                self.construct_adj(graph), max_edges_per_part=max_edges_per_part
-            )
+            if layout == "2d":
+                oc = prepare_out_of_core_2d(
+                    self.construct_adj(graph),
+                    max_edges_per_part=max_edges_per_part,
+                    src_blocks=src_blocks,
+                )
+            else:
+                oc = prepare_out_of_core(
+                    self.construct_adj(graph),
+                    max_edges_per_part=max_edges_per_part,
+                )
             try:
                 import weakref
 

@@ -1,3 +1,4 @@
+from sgl_tpu.utils.compile_cache import enable_compilation_cache
 from sgl_tpu.utils.config import TrainConfig, MeshConfig
 from sgl_tpu.utils.profiling import StageTimer, slope_time, sync, xla_trace
 from sgl_tpu.utils.checkpoint import (

@@ -397,6 +397,85 @@ def test_out_of_core_null_transfer_mode():
     np.testing.assert_allclose(real, coo @ x, rtol=1e-4, atol=1e-5)
 
 
+def _scipy_of(adj):
+    import scipy.sparse as sp
+
+    return sp.coo_matrix(
+        (np.asarray(adj.w), (np.asarray(adj.dst), np.asarray(adj.src))),
+        shape=(adj.num_nodes, adj.num_nodes),
+    )
+
+
+@pytest.mark.parametrize("src_blocks,part_edges", [(1, 8 * 128), (4, 4 * 128), (8, 2 * 128)])
+def test_out_of_core_2d_allclose(src_blocks, part_edges):
+    """2-D (dst-part × src-block) layout == scipy on a power-law graph:
+    contiguous block workspaces (no host gather), per-subpart tile masks
+    (empty cells/tiles skipped via select), tiny accumulator groups."""
+    from sgl_tpu.datasets.synthetic import random_power_law_graph
+    from sgl_tpu.kernels import prepare_out_of_core_2d, spmm_out_of_core_2d
+
+    g = random_power_law_graph(3_000, 4, 6, seed=17, alpha=1.4,
+                               pad_multiple=1024)
+    adj = symmetric_normalized_weights(g)
+    x = np.asarray(g.x)
+    oc = prepare_out_of_core_2d(
+        adj, max_edges_per_part=part_edges, src_blocks=src_blocks, chunk=128
+    )
+    if src_blocks > 1:
+        assert any(s.n_edges == 0 for row in oc.parts for s in row) or any(
+            s.tile_mask.min() == 0 for row in oc.parts for s in row
+        ), "config not adversarial: no empty cells or tiles"
+    got = spmm_out_of_core_2d(
+        oc, x, interpret=True, max_device_acc_bytes=oc.n_rows * 6 * 4 * 2
+    )
+    assert np.isfinite(got).all()
+    np.testing.assert_allclose(got, _scipy_of(adj) @ x, rtol=1e-4, atol=1e-5)
+
+
+def test_out_of_core_2d_bf16_and_no_diag():
+    from sgl_tpu.datasets.synthetic import random_power_law_graph
+    from sgl_tpu.kernels import prepare_out_of_core_2d, spmm_out_of_core_2d
+
+    g = random_power_law_graph(2_000, 5, 8, seed=3, pad_multiple=1024)
+    adj = symmetric_normalized_weights(g)
+    x32 = np.asarray(g.x)
+    oc = prepare_out_of_core_2d(adj, max_edges_per_part=512, src_blocks=4,
+                                split_diag=False, chunk=128)
+    assert oc.diag is None
+    want = spmm_out_of_core_2d(oc, x32, interpret=True)
+    np.testing.assert_allclose(want, _scipy_of(adj) @ x32, rtol=1e-4, atol=1e-5)
+    got = spmm_out_of_core_2d(
+        oc, x32.astype(jnp.bfloat16), interpret=True
+    )
+    np.testing.assert_allclose(
+        np.asarray(got, np.float32), want, rtol=2e-2, atol=2e-2
+    )
+
+
+def test_out_of_core_2d_matches_1d():
+    """Both out-of-core layouts compute the same product."""
+    from sgl_tpu.kernels import (
+        prepare_out_of_core,
+        prepare_out_of_core_2d,
+        spmm_out_of_core,
+        spmm_out_of_core_2d,
+    )
+    from sgl_tpu.kernels.pallas_spmm import CHUNK
+
+    g = random_graph(n=700, avg_deg=9, d=10, seed=41)
+    adj = symmetric_normalized_weights(g)
+    x = np.asarray(g.x)
+    y1 = spmm_out_of_core(
+        prepare_out_of_core(adj, max_edges_per_part=2 * CHUNK), x,
+        interpret=True,
+    )
+    y2 = spmm_out_of_core_2d(
+        prepare_out_of_core_2d(adj, max_edges_per_part=2 * CHUNK,
+                               src_blocks=3), x, interpret=True,
+    )
+    np.testing.assert_allclose(y1, y2, rtol=1e-5, atol=1e-6)
+
+
 def test_graph_op_propagate_out_of_core():
     from sgl_tpu.ops.graph_ops import LaplacianGraphOp
 
@@ -409,3 +488,11 @@ def test_graph_op_propagate_out_of_core():
     oc_first = op._adj_cache[2]
     op.propagate_out_of_core(g, np.asarray(g.x), interpret=True)
     assert op._adj_cache[2] is oc_first
+    # 2-D routing: same hops, and switching layouts swaps the cache entry
+    got2 = op.propagate_out_of_core(
+        g, np.asarray(g.x), interpret=True, layout="2d", src_blocks=3
+    )
+    np.testing.assert_allclose(np.stack(got2), want, rtol=2e-4, atol=2e-5)
+    assert op._adj_cache[2] is not oc_first
+    with pytest.raises(ValueError):
+        op.propagate_out_of_core(g, np.asarray(g.x), layout="3d")
