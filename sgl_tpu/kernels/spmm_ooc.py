@@ -316,14 +316,23 @@ def prepare_out_of_core_2d(
     n_tiles = max(hi - lo for lo, hi in zip(bounds[:-1], bounds[1:]))
     n_rows = n_tiles * TILE_R
 
-    # (part, block) bucket of every edge, then one lexsort: the subpart
-    # loop below is pure slicing
+    # (part, block) bucket of every edge, then ONE sort so the subpart
+    # loop below is pure slicing.  Fast path: when the input is already
+    # dst-sorted (symmetric_normalized_weights_host / the native builder
+    # emit dst order), a stable argsort on the tiny composite cell key
+    # preserves dst order within each cell — measured ~10x cheaper than
+    # the 3-key lexsort at 62M edges
     part_of = np.searchsorted(np.asarray(bounds[1:]), tile_of_all, side="right")
     block_of = src // sb
-    order = np.lexsort((dst, block_of, part_of))
+    cell_key = (part_of * k + block_of).astype(
+        np.int32 if n_parts * k < 2**31 else np.int64
+    )
+    if dst.size and bool(np.all(dst[1:] >= dst[:-1])):
+        order = np.argsort(cell_key, kind="stable")
+    else:
+        order = np.lexsort((dst, block_of, part_of))
     src, dst, w = src[order], dst[order], w[order]
-    part_s, block_s = part_of[order], block_of[order]
-    cell = part_s * k + block_s
+    cell = cell_key[order].astype(np.int64)
     cell_counts = np.bincount(cell, minlength=n_parts * k)
     cell_starts = np.concatenate([[0], np.cumsum(cell_counts)])
 

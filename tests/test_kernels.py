@@ -452,6 +452,29 @@ def test_out_of_core_2d_bf16_and_no_diag():
     )
 
 
+def test_out_of_core_2d_unsorted_input_falls_back_to_lexsort():
+    """The dst-sorted fast path and the lexsort fallback build identical
+    layouts (same product)."""
+    from sgl_tpu.kernels import prepare_out_of_core_2d, spmm_out_of_core_2d
+
+    g = random_graph(n=500, avg_deg=7, d=6, seed=13)
+    adj = symmetric_normalized_weights(g)
+    src, dst, w = np.asarray(adj.src), np.asarray(adj.dst), np.asarray(adj.w)
+    x = np.asarray(g.x)
+    sorted_oc = prepare_out_of_core_2d(
+        (src, dst, w, adj.num_nodes), max_edges_per_part=512, src_blocks=3
+    )
+    perm = np.random.default_rng(0).permutation(src.shape[0])
+    shuf_oc = prepare_out_of_core_2d(
+        (src[perm], dst[perm], w[perm], adj.num_nodes),
+        max_edges_per_part=512, src_blocks=3,
+    )
+    a = spmm_out_of_core_2d(sorted_oc, x, interpret=True)
+    b = spmm_out_of_core_2d(shuf_oc, x, interpret=True)
+    np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(a, _scipy_of(adj) @ x, rtol=1e-4, atol=1e-5)
+
+
 def test_out_of_core_2d_matches_1d():
     """Both out-of-core layouts compute the same product."""
     from sgl_tpu.kernels import (
