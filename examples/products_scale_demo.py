@@ -106,7 +106,8 @@ def main(n=2_400_000, avg_deg=25, d=100, hops=3, part_edges=6 << 20,
     # host-side normalization (native OpenMP builder): no device round-trip
     adj = symmetric_normalized_weights_host(g)
     if ooc:
-        return _main_ooc(g, adj, d, hops, part_edges, dtype, t0)
+        return _main_ooc(g, adj, d, hops, part_edges, dtype, t0,
+                         layout="2d" if "--2d" in sys.argv else "1d")
     bundle = prepare_chunked_parts(adj, max_edges_per_part=part_edges)
     print(f"normalized + partitioned into {bundle[0].num_parts} parts "
           f"({time.time() - t0:.1f}s)")
@@ -137,14 +138,26 @@ def main(n=2_400_000, avg_deg=25, d=100, hops=3, part_edges=6 << 20,
         _train_at_scale(stack)
 
 
-def _main_ooc(g, adj, d, hops, part_edges, dtype, t0):
+def _main_ooc(g, adj, d, hops, part_edges, dtype, t0, layout="1d"):
     """Feature-out-of-core mode (--ooc): x, y, and the edge arrays all stay
     in HOST memory; only one part's workspace+messages occupy HBM at a
     time.  This is the papers100M regime (features alone 57 GB) shrunk to
-    demo scale — same code path, host-bounded memory."""
-    from sgl_tpu.kernels import prepare_out_of_core, spmm_out_of_core
+    demo scale — same code path, host-bounded memory.  ``--2d`` selects
+    the src-block layout (contiguous column workspaces, no host gather,
+    per-hop traffic of one feature volume — docs/PERFORMANCE.md
+    "Out-of-core")."""
+    from sgl_tpu.kernels import (
+        prepare_out_of_core,
+        prepare_out_of_core_2d,
+        spmm_out_of_core,
+        spmm_out_of_core_2d,
+    )
 
-    oc = prepare_out_of_core(adj, max_edges_per_part=part_edges)
+    if layout == "2d":
+        oc = prepare_out_of_core_2d(adj, max_edges_per_part=part_edges)
+        spmm_out_of_core = spmm_out_of_core_2d  # noqa: F811
+    else:
+        oc = prepare_out_of_core(adj, max_edges_per_part=part_edges)
     print(f"normalized + out-of-core layout: {oc.num_parts} parts "
           f"({time.time() - t0:.1f}s)")
     x = np.asarray(g.x)
