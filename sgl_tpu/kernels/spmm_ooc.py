@@ -255,10 +255,14 @@ class OutOfCoreAdj2D:
         return len(self.parts)
 
     def subpart_edge_nbytes(self) -> int:
-        s = self.parts[0][0]
+        """Total edge-array bytes across non-empty cells (cells are sized
+        per power-of-two class, so per-cell bytes vary)."""
         return int(
-            s.src.nbytes + s.dst.nbytes + s.w.nbytes + s.chunk_tile.nbytes
-            + s.tile_mask.nbytes
+            sum(
+                s.src.nbytes + s.dst.nbytes + s.w.nbytes
+                + s.chunk_tile.nbytes + s.tile_mask.nbytes
+                for row in self.parts for s in row if s.n_edges
+            )
         )
 
 
@@ -278,7 +282,13 @@ def prepare_out_of_core_2d(
     in device memory.  Empty (part, block) cells cost nothing — their
     dispatch is skipped; partially-empty cells skip their untouched
     tiles via a per-subpart tile mask (a ``jnp.where`` select, never
-    arithmetic on uninitialized memory)."""
+    arithmetic on uninitialized memory).
+
+    ``chunk`` defaults to 128 here (not the single-chip 512): splitting
+    each part's tiles across ``src_blocks`` gathers multiplies the
+    per-tile round-up waste, and the measured products-config sweep
+    (chunk 512/256/128 → 2.99/2.28/2.01 s/hop compute-only, padding
+    2.67x/2.03x/1.72x) shows the smaller chunk wins."""
     if isinstance(adj, SparseAdj):
         src, dst, w, n = adj.src, adj.dst, adj.w, adj.num_nodes
     else:
@@ -297,7 +307,7 @@ def prepare_out_of_core_2d(
             np.add.at(diag, dst[loop], w[loop])
             src, dst, w = src[~loop], dst[~loop], w[~loop]
 
-    chunk = chunk or CHUNK
+    chunk = chunk or 128
     k = max(int(src_blocks), 1)
     sb = _round_up(-(-n // k), TILE_R)
 
@@ -354,14 +364,10 @@ def prepare_out_of_core_2d(
             all_padded.append(
                 _subpart_padded(cell_starts[i], cell_starts[i + 1], t_lo)
             )
-    c_max = max(
-        (int(padded.sum()) // chunk for _, padded in all_padded), default=1
-    )
-    c_max = max(c_max, 1)
-    e_b = c_max * chunk
 
     parts: List[List[OocSubPart]] = []
     real_edges = int(src.shape[0])
+    slots = 0
     for p in range(n_parts):
         t_lo = bounds[p]
         row = []
@@ -370,6 +376,14 @@ def prepare_out_of_core_2d(
             lo, hi = int(cell_starts[i]), int(cell_starts[i + 1])
             counts, padded = all_padded[i]
             mask = (counts > 0).astype(np.uint8)
+            # per-cell chunk count bucketed to the next power of two:
+            # one compiled step PER SIZE CLASS (jit re-specializes by
+            # shape; the persistent compile cache amortizes it) instead
+            # of every cell padding to the densest cell — measured 6.4x
+            # slot inflation at the products config with a global e_b
+            c_real = max(int(padded.sum()) // chunk, 1)
+            c_cell = 1 << (c_real - 1).bit_length()
+            e_b = c_cell * chunk
             offs = np.concatenate([[0], np.cumsum(padded)])
             o_src = np.zeros(e_b, np.int32)
             o_w = np.zeros(e_b, np.float32)
@@ -383,7 +397,7 @@ def prepare_out_of_core_2d(
                 ct = np.zeros(0, np.int32)
                 pad_tile = 0
             o_ct = np.concatenate(
-                [ct, np.full(c_max - ct.shape[0], pad_tile, np.int32)]
+                [ct, np.full(c_cell - ct.shape[0], pad_tile, np.int32)]
             )
             o_dst = np.empty(e_b, np.int64)
             tile_fill = np.repeat(np.arange(n_tiles), padded)
@@ -397,6 +411,8 @@ def prepare_out_of_core_2d(
                 o_src[pos] = (src[lo:hi] - b * sb).astype(np.int32)
                 o_dst[pos] = d_loc
                 o_w[pos] = w[lo:hi]
+            if hi > lo:
+                slots += e_b
             row.append(
                 OocSubPart(
                     o_src, o_dst.astype(np.int32), o_w, o_ct, mask, hi - lo
@@ -404,13 +420,13 @@ def prepare_out_of_core_2d(
             )
         parts.append(row)
 
-    slots = sum(1 for row in parts for s in row if s.n_edges) * e_b
+    n_classes = len({s.src.shape[0] for row in parts for s in row if s.n_edges})
     logger.info(
-        "2-D out-of-core layout: %d parts x %d blocks (%d non-empty cells), "
-        "%d real edges in %d slots (%.2fx padding), block workspace %d "
-        "rows, part output %d rows",
+        "2-D out-of-core layout: %d parts x %d blocks (%d non-empty cells, "
+        "%d size classes), %d real edges in %d slots (%.2fx padding), "
+        "block workspace %d rows, part output %d rows",
         n_parts, k, sum(1 for row in parts for s in row if s.n_edges),
-        real_edges, slots, slots / max(real_edges, 1), sb, n_rows,
+        n_classes, real_edges, slots, slots / max(real_edges, 1), sb, n_rows,
     )
     return OutOfCoreAdj2D(
         num_nodes=n,
@@ -427,11 +443,17 @@ def prepare_out_of_core_2d(
     )
 
 
-@functools.partial(jax.jit, static_argnames=("n_rows", "interpret"))
+@functools.partial(
+    jax.jit, static_argnames=("n_rows", "interpret", "masked")
+)
 def _ooc_step_2d(src, dst, w, chunk_tile, tile_mask, xw, acc,
-                 n_rows: int, interpret: bool = False):
+                 n_rows: int, interpret: bool = False, masked: bool = True):
     """One (part, block) cell: gather from the block workspace, Pallas MXU
-    segment reduce, select away unvisited tiles, accumulate."""
+    segment reduce, select away unvisited tiles, accumulate.
+
+    ``masked=False`` (static) skips the select for fully-covered cells —
+    elementwise ops on the Pallas output are the measured de-fusion
+    hazard (CLAUDE.md XLA quirk), so dense cells avoid them entirely."""
     d = xw.shape[1]
     d_pad = _round_up(d, 128)
     xp = xw if d_pad == d else jnp.pad(xw, ((0, 0), (0, d_pad - d)))
@@ -442,9 +464,12 @@ def _ooc_step_2d(src, dst, w, chunk_tile, tile_mask, xw, acc,
     out = _segment_reduce_mxu(
         hi, lo, dst, chunk_tile, num_nodes=n_rows, interpret=interpret
     )
-    rows = jnp.repeat(tile_mask.astype(jnp.bool_), TILE_R)
-    # select, never multiply: unvisited tiles are uninitialized memory
-    return acc + jnp.where(rows[:, None], out[:, :d], 0.0)
+    out = out[:, :d]
+    if masked:
+        rows = jnp.repeat(tile_mask.astype(jnp.bool_), TILE_R)
+        # select, never multiply: unvisited tiles are uninitialized memory
+        out = jnp.where(rows[:, None], out, 0.0)
+    return acc + out
 
 
 def spmm_out_of_core_2d(
@@ -466,11 +491,19 @@ def spmm_out_of_core_2d(
         out[:] = 0
     acc_bytes = oc.n_rows * d * 4
     group = max(int(max_device_acc_bytes // max(acc_bytes, 1)), 1)
-    cacheable = max(
-        max_device_edge_bytes // max(oc.subpart_edge_nbytes(), 1), 0
-    )
-    for i in [key for key in oc._dev_edges if key[0] * oc.num_blocks + key[1] >= cacheable]:
-        del oc._dev_edges[i]
+    # byte-budget edge cache (cell sizes vary by size class): evict from
+    # the most recent insertions until under THIS call's budget
+    def _cell_bytes(p, b):
+        s = oc.parts[p][b]
+        return (s.src.nbytes + s.dst.nbytes + s.w.nbytes
+                + s.chunk_tile.nbytes + s.tile_mask.nbytes)
+
+    cached_bytes = sum(_cell_bytes(*key) for key in oc._dev_edges)
+    for key in reversed(list(oc._dev_edges)):
+        if cached_bytes <= max_device_edge_bytes:
+            break
+        cached_bytes -= _cell_bytes(*key)
+        del oc._dev_edges[key]
 
     n = oc.num_nodes
     sb = oc.block_rows
@@ -495,13 +528,16 @@ def spmm_out_of_core_2d(
                         jnp.asarray(s.w), jnp.asarray(s.chunk_tile),
                         jnp.asarray(s.tile_mask),
                     )
-                    if p * oc.num_blocks + b < cacheable:
+                    nb = _cell_bytes(p, b)
+                    if cached_bytes + nb <= max_device_edge_bytes:
                         oc._dev_edges[key] = edges
+                        cached_bytes += nb
                 if xw_dev is None:
                     xw_dev = jnp.asarray(xw)
                 accs[p] = _ooc_step_2d(
                     *edges, xw_dev, accs[p], n_rows=oc.n_rows,
                     interpret=interpret,
+                    masked=not bool(s.tile_mask.all()),
                 )
         for p in g:
             off, valid = oc.row_offsets[p], oc.valid_rows[p]
