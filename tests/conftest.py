@@ -18,6 +18,10 @@ if "xla_force_host_platform_device_count" not in flags:
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
 os.environ["JAX_PLATFORMS"] = "cpu"
+# isolate the persistent compile cache from the user's: test programs are
+# tiny (caching them is noise) and CPU-AOT entries written under slightly
+# different flag sets trigger machine-feature warnings on reload
+os.environ.setdefault("SGL_TPU_COMPILE_CACHE", "0")
 
 import jax  # noqa: E402
 
