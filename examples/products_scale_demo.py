@@ -154,7 +154,11 @@ def _main_ooc(g, adj, d, hops, part_edges, dtype, t0, layout="1d"):
     )
 
     if layout == "2d":
-        oc = prepare_out_of_core_2d(adj, max_edges_per_part=part_edges)
+        # src_blocks=4: the measured optimum at this scale (N/4 workspace
+        # rows fit HBM comfortably; docs/PERFORMANCE.md 2-D sweep)
+        oc = prepare_out_of_core_2d(
+            adj, max_edges_per_part=part_edges, src_blocks=4
+        )
         spmm_out_of_core = spmm_out_of_core_2d  # noqa: F811
     else:
         oc = prepare_out_of_core(adj, max_edges_per_part=part_edges)

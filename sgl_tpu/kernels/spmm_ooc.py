@@ -420,6 +420,22 @@ def prepare_out_of_core_2d(
             )
         parts.append(row)
 
+    e_b_max = max(
+        (s.src.shape[0] for row in parts for s in row if s.n_edges), default=0
+    )
+    if e_b_max > 12 << 20:
+        # msgs (f32) + hi/lo (bf16) ≈ 8 B per slot-lane; at d_pad=128 a
+        # 16M-slot cell alone wants ~16 GB of message buffers — the
+        # whole HBM.  (Observed: src_blocks=2 at the products config
+        # dies with RESOURCE_EXHAUSTED.)
+        import warnings as _w
+
+        _w.warn(
+            f"2-D out-of-core: densest cell has {e_b_max} edge slots; its "
+            "message buffers may exceed HBM at d_pad=128 — raise "
+            "src_blocks or lower max_edges_per_part",
+            stacklevel=2,
+        )
     n_classes = len({s.src.shape[0] for row in parts for s in row if s.n_edges})
     logger.info(
         "2-D out-of-core layout: %d parts x %d blocks (%d non-empty cells, "

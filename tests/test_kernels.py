@@ -475,6 +475,24 @@ def test_out_of_core_2d_unsorted_input_falls_back_to_lexsort():
     np.testing.assert_allclose(a, _scipy_of(adj) @ x, rtol=1e-4, atol=1e-5)
 
 
+def test_out_of_core_2d_edge_cache_budget():
+    """The byte-budget device cache caches under a big budget, evicts to
+    zero under a zero budget on a later call, and stays exact."""
+    from sgl_tpu.kernels import prepare_out_of_core_2d, spmm_out_of_core_2d
+
+    g = random_graph(n=600, avg_deg=8, d=6, seed=19)
+    adj = symmetric_normalized_weights(g)
+    x = np.asarray(g.x)
+    oc = prepare_out_of_core_2d(adj, max_edges_per_part=512, src_blocks=3)
+    first = spmm_out_of_core_2d(oc, x, interpret=True)
+    assert len(oc._dev_edges) > 0
+    second = spmm_out_of_core_2d(
+        oc, x, interpret=True, max_device_edge_bytes=0
+    )
+    assert len(oc._dev_edges) == 0
+    np.testing.assert_array_equal(first, second)
+
+
 def test_out_of_core_2d_matches_1d():
     """Both out-of-core layouts compute the same product."""
     from sgl_tpu.kernels import (
