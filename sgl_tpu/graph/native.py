@@ -153,8 +153,24 @@ def gather_rows(
     lib = _load()
     if lib is None:
         return np.take(x, idx, axis=0, out=out)
+    # the C gather is a raw memcpy per row: out-of-range indices would read
+    # arbitrary memory (numpy would raise).  min/max is cheap vs the gather.
+    if idx.size and (int(idx.min()) < 0 or int(idx.max()) >= x.shape[0]):
+        raise IndexError(
+            f"gather_rows: index out of range [0, {x.shape[0]}) "
+            f"(got min {int(idx.min())}, max {int(idx.max())})"
+        )
     if out is None:
         out = np.empty((idx.shape[0],) + x.shape[1:], x.dtype)
+    else:
+        expect = (idx.shape[0],) + x.shape[1:]
+        if (out.shape != expect or out.dtype != x.dtype
+                or not out.flags["C_CONTIGUOUS"]):
+            raise ValueError(
+                f"gather_rows: out must be C-contiguous {expect} {x.dtype} "
+                f"(got {out.shape} {out.dtype}, "
+                f"contiguous={out.flags['C_CONTIGUOUS']})"
+            )
     row_bytes = x.nbytes // max(x.shape[0], 1)
     lib.sgl_gather_rows(
         x.ctypes.data_as(ctypes.c_void_p), row_bytes, idx, idx.shape[0],

@@ -273,6 +273,7 @@ def prepare_out_of_core_2d(
     *,
     split_diag: bool = True,
     chunk: Optional[int] = None,
+    strict: bool = False,
 ) -> OutOfCoreAdj2D:
     """Build the 2-D out-of-core layout (see :class:`OutOfCoreAdj2D`).
 
@@ -283,6 +284,10 @@ def prepare_out_of_core_2d(
     dispatch is skipped; partially-empty cells skip their untouched
     tiles via a per-subpart tile mask (a ``jnp.where`` select, never
     arithmetic on uninitialized memory).
+
+    ``strict=True`` raises at build time when the densest cell's message
+    buffers could exceed HBM (default: warn) — the failure would otherwise
+    surface as a RESOURCE_EXHAUSTED far from its cause.
 
     ``chunk`` defaults to 128 here (not the single-chip 512): splitting
     each part's tiles across ``src_blocks`` gathers multiplies the
@@ -427,15 +432,20 @@ def prepare_out_of_core_2d(
         # msgs (f32) + hi/lo (bf16) ≈ 8 B per slot-lane; at d_pad=128 a
         # 16M-slot cell alone wants ~16 GB of message buffers — the
         # whole HBM.  (Observed: src_blocks=2 at the products config
-        # dies with RESOURCE_EXHAUSTED.)
-        import warnings as _w
-
-        _w.warn(
+        # dies with RESOURCE_EXHAUSTED.)  A single 128-row hub tile
+        # holding more edges than max_edges_per_part cannot be split
+        # (parts are tile-bounded), so under ``strict`` this raises here,
+        # at the cause, instead of a RESOURCE_EXHAUSTED at run time.
+        msg = (
             f"2-D out-of-core: densest cell has {e_b_max} edge slots; its "
             "message buffers may exceed HBM at d_pad=128 — raise "
-            "src_blocks or lower max_edges_per_part",
-            stacklevel=2,
+            "src_blocks or lower max_edges_per_part"
         )
+        if strict:
+            raise ValueError(msg)
+        import warnings as _w
+
+        _w.warn(msg, stacklevel=2)
     n_classes = len({s.src.shape[0] for row in parts for s in row if s.n_edges})
     logger.info(
         "2-D out-of-core layout: %d parts x %d blocks (%d non-empty cells, "

@@ -29,12 +29,14 @@ via ``ConfigManager._setParameters(..., prop_cache=False)``.
 from __future__ import annotations
 
 import copy
+import hashlib
 import time
 import weakref
 from typing import Any, Dict, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 
 def _op_config_key(op) -> Tuple:
@@ -46,8 +48,15 @@ def _op_config_key(op) -> Tuple:
             continue
         if isinstance(v, (int, float, str, bool, type(None))):
             items.append((k, v))
+        elif isinstance(v, (np.ndarray, jnp.ndarray)):
+            # arrays hash by content: repr truncates beyond ~1000 elements,
+            # so two large arrays differing only in the elided middle would
+            # collide — the exact failure this guard exists to prevent
+            a = np.asarray(v)
+            digest = hashlib.sha1(np.ascontiguousarray(a).tobytes()).hexdigest()
+            items.append((k, "ndarray", a.shape, str(a.dtype), digest))
         else:
-            # non-scalar config (array, list, callable, ...): repr-based
+            # other non-scalar config (list, callable, ...): repr-based
             # fallback so differently-configured ops never silently
             # collide (current ops only carry scalars; this is the guard)
             items.append((k, type(v).__name__, repr(v)))
