@@ -1243,6 +1243,135 @@ def run_micro6():
         log(f"spmm[{name}]: {per*1e3:.2f} ms/hop -> {nnz/per/1e9:.3f} G edges/s")
 
 
+def run_hub16():
+    """bf16 hub strip (half the (N,k) stream) + cutoff re-sweep at the
+    cheaper per-column rate.  All configs use bf16 features (the
+    production default); correctness err is vs the f32 segment backend."""
+    import jax
+    import jax.numpy as jnp
+
+    import sgl_tpu.kernels.pallas_spmm as ps
+    from sgl_tpu.kernels.sparse import spmm_segment
+
+    g, adj = make_graph()
+    nnz = int(np.sum(np.asarray(adj.w) != 0))
+    x32 = jnp.asarray(g.x)
+    x16 = x32.astype(jnp.bfloat16)
+    ref = spmm_segment(adj, x32)
+
+    def build(cutdiv, hub_dtype):
+        orig = ps._select_hubs
+
+        def patched(src, nn, hub_k, max_hub_bytes, cutoff_div=700):
+            return orig(src, nn, hub_k, max_hub_bytes, cutoff_div=cutdiv)
+
+        ps._select_hubs = patched
+        try:
+            ch = ps.prepare_chunked(
+                adj, max_hub_bytes=2 << 30, hub_dtype=hub_dtype
+            )
+        finally:
+            ps._select_hubs = orig
+        k = 0 if ch.hub_ids is None else int(ch.hub_ids.shape[0])
+        gath = int(np.sum(np.asarray(ch.w) != 0))
+        log(f"  cut{cutdiv}/{'bf16' if hub_dtype else 'f32'}: hubs={k} "
+            f"gather_edges={gath}")
+        return ch
+
+    configs = {
+        "f32strip/cut700": build(700, None),
+        "bf16strip/cut700": build(700, jnp.bfloat16),
+        "bf16strip/cut1050": build(1050, jnp.bfloat16),
+        "bf16strip/cut1400": build(1400, jnp.bfloat16),
+        "bf16strip/cut2100": build(2100, jnp.bfloat16),
+    }
+    for name, ch in configs.items():
+        out = ps.spmm_pallas(ch, x16).astype(jnp.float32)
+        err = float(jnp.max(jnp.abs(out - ref)) / (jnp.max(jnp.abs(ref)) + 1e-30))
+        log(f"  {name}: rel err vs f32 segment {err:.2e}")
+
+    def make_run(ch, k):
+        f_k = jax.jit(
+            lambda a, v: jax.lax.fori_loop(
+                0, k, lambda i, y: ps.spmm_pallas(a, y), v
+            )[0, 0].astype(jnp.float32)
+        )
+        return lambda: f_k(ch, x16)
+
+    best = {name: np.inf for name in configs}
+    k1, k2 = 6, 16
+    for rnd in range(3):
+        for name, ch in configs.items():
+            t1 = timed(make_run(ch, k1), iters=2, reduce=np.min)
+            t2 = timed(make_run(ch, k2), iters=2, reduce=np.min)
+            best[name] = min(best[name], (t2 - t1) / (k2 - k1))
+        log(f"-- round {rnd}: " + "  ".join(
+            f"{n_}={v*1e3:.2f}ms" for n_, v in best.items()))
+    for name, per in best.items():
+        log(f"spmm[{name}]: {per*1e3:.2f} ms/hop -> {nnz/per/1e9:.3f} G edges/s")
+
+
+def run_tilecost():
+    """Per-slot cost of the full bucket pipeline (gather -> hi/lo -> one-hot
+    reduce) vs (tile_r, chunk) — grounds the ring layout builder's cost
+    model, which must trade padding slots against wider one-hot scatters."""
+    import jax
+    import jax.numpy as jnp
+
+    import sgl_tpu.kernels.pallas_spmm as ps
+
+    rng = np.random.default_rng(0)
+    n_src = 32_768
+    block = 8192
+    e = 1 << 21
+    x = jnp.asarray(rng.normal(size=(n_src, 128)).astype(np.float32))
+    src = jnp.asarray(rng.integers(0, n_src, e).astype(np.int32))
+    w = jnp.asarray(rng.random(e).astype(np.float32))
+
+    def layout(tile_r, chunk):
+        n_tiles = block // tile_r
+        n_chunks = e // chunk
+        per_tile = n_chunks // n_tiles
+        ct = np.repeat(np.arange(n_tiles, dtype=np.int32), per_tile)
+        tile_of_slot = np.repeat(ct, chunk)
+        dst = tile_of_slot * tile_r + rng.integers(0, tile_r, e)
+        return jnp.asarray(ct), jnp.asarray(dst.astype(np.int32))
+
+    def make_run(tile_r, ct, dst, k):
+        def body(xx):
+            msgs = jnp.take(x, src, axis=0) * (w[:, None] + xx[0, 0])
+            hi = msgs.astype(jnp.bfloat16)
+            lo = (msgs - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+            out = ps._segment_reduce_mxu(
+                hi, lo, dst, ct, num_nodes=block, tile_r=tile_r
+            )
+            return out
+        f_k = jax.jit(
+            lambda xx: jax.lax.fori_loop(
+                0, k, lambda i, y: body(y)[:1, :128] * 1e-9, xx
+            )[0, 0]
+        )
+        return lambda: f_k(jnp.zeros((1, 128), jnp.float32))
+
+    configs = {}
+    for tile_r in (128, 256, 512, 1024, 2048):
+        for chunk in (32, 64, 128, 256, 512):
+            if (e // chunk) % (block // tile_r):
+                continue
+            configs[(tile_r, chunk)] = layout(tile_r, chunk)
+    best = {k_: np.inf for k_ in configs}
+    k1, k2 = 4, 10
+    for rnd in range(3):
+        for key, (ct, dst) in configs.items():
+            t1 = timed(make_run(key[0], ct, dst, k1), iters=2, reduce=np.min)
+            t2 = timed(make_run(key[0], ct, dst, k2), iters=2, reduce=np.min)
+            best[key] = min(best[key], (t2 - t1) / (k2 - k1))
+        log(f"-- round {rnd} done")
+    log(f"{'tile_r':>7} {'chunk':>6} {'ms':>8} {'ns/slot':>8}")
+    for (tile_r, chunk), per in sorted(best.items()):
+        log(f"{tile_r:7d} {chunk:6d} {per*1e3:8.2f} {per/e*1e9:8.2f}")
+
+
 if __name__ == "__main__":
     args = set(sys.argv[1:]) or {"--check"}
     import jax
@@ -1270,6 +1399,10 @@ if __name__ == "__main__":
         run_micro9()
     if "--micro10" in args:
         run_micro10()
+    if "--hub16" in args:
+        run_hub16()
+    if "--tilecost" in args:
+        run_tilecost()
     if "--perf" in args:
         run_perf()
     if "--sweep" in args:

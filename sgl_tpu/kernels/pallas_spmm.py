@@ -132,6 +132,16 @@ class ChunkedAdj:
         if self.diag is not None:
             y = y + self.diag[:, None].astype(y.dtype) * x.astype(y.dtype)
         if self.hub_ids is not None:
+            if self.hub_m.dtype == jnp.bfloat16:
+                # bf16 strip (prepare_chunked(hub_dtype=bf16), the bf16-x
+                # production default): halves the (N, k) HBM stream — the
+                # measured extras floor — and the MXU pass is bf16 either
+                # way under DEFAULT precision, so numerics are unchanged
+                xh = jnp.take(x, self.hub_ids, axis=0).astype(jnp.bfloat16)
+                y = y + jax.lax.dot(
+                    self.hub_m, xh, preferred_element_type=jnp.float32
+                ).astype(y.dtype)
+                return y
             xh = jnp.take(x, self.hub_ids, axis=0).astype(jnp.float32)
             # HIGH (3-pass bf16) measures the same end-to-end error as
             # HIGHEST (the message path's ~2^-16 dominates) at -0.4 ms/hop;
@@ -151,27 +161,40 @@ class ChunkedAdj:
         if self.diag is not None:
             dx = dx + self.diag[:, None].astype(g.dtype) * g
         if self.hub_ids is not None:
-            dh = jax.lax.dot(
-                self.hub_m.T,
-                g.astype(jnp.float32),
-                precision=jax.lax.Precision.HIGH,
-            ).astype(g.dtype)
+            if self.hub_m.dtype == jnp.bfloat16:
+                dh = jax.lax.dot(
+                    self.hub_m.T,
+                    g.astype(jnp.bfloat16),
+                    preferred_element_type=jnp.float32,
+                ).astype(g.dtype)
+            else:
+                dh = jax.lax.dot(
+                    self.hub_m.T,
+                    g.astype(jnp.float32),
+                    precision=jax.lax.Precision.HIGH,
+                ).astype(g.dtype)
             dx = dx.at[self.hub_ids].add(dh)
         return dx
 
 
-def _select_hubs(src: np.ndarray, n: int, hub_k, max_hub_bytes: int):
+def _select_hubs(
+    src: np.ndarray, n: int, hub_k, max_hub_bytes: int, cutoff_div: int = 700
+):
     """Pick hub sources worth the dense path.
 
     A dense hub column costs one streamed read of N·4 bytes per hop
     (~N·5ps at v5e HBM bandwidth); a gathered edge costs ~3.5 ns.  A node
-    pays its way when out-degree ≥ N·4B/BW / 3.5ns ≈ N/700.
+    pays its way when out-degree ≥ N·4B/BW / 3.5ns ≈ N/700 — re-swept and
+    confirmed for the f32 strip (``--micro6``) AND for the bf16 strip
+    (``--hub16``: cut1050/1400 within noise of cut700, cut2100 strictly
+    worse — the strip is not purely stream-bound, so the halved bytes do
+    not halve the breakeven).
     """
     if hub_k in (0, None):
         return None
     counts = np.bincount(src, minlength=n)
     if hub_k == "auto":
-        cutoff = max(n // 700, 32)
+        cutoff = max(n // cutoff_div, 32)
         k = int(np.count_nonzero(counts >= cutoff))
     else:
         k = int(hub_k)
@@ -190,6 +213,7 @@ def split_extras(
     split_diag: bool = True,
     hub_k="auto",
     max_hub_bytes: int = 512 << 20,
+    hub_dtype=None,
 ):
     """Host-side split of self-loops and hub-source edges out of an edge
     list.  Returns ``(src, dst, w, diag, hub_ids, hub_m)`` with the split
@@ -201,6 +225,14 @@ def split_extras(
     5.2M edge bench); with the hub matmul present the same add is free.
     So the diag split is only taken together with the hub split.
     """
+    hub_np = np.dtype(np.float32)
+    if hub_dtype is not None and jnp.dtype(hub_dtype) == jnp.bfloat16:
+        # bf16 strip: halves the (N, k) stream, measured -4.4%/hop on the
+        # bench graph (dev/exp_spmm --hub16).  The degree cutoff stays
+        # N/700: the same sweep shows extending it does not pay
+        import ml_dtypes
+
+        hub_np = np.dtype(ml_dtypes.bfloat16)
     selfm = src == dst
     hubs = _select_hubs(src[~selfm], n, hub_k, max_hub_bytes)
 
@@ -221,7 +253,7 @@ def split_extras(
         flat = dst[hubm].astype(np.int64) * k + col[src[hubm]]
         hub_m = np.bincount(flat, weights=w[hubm], minlength=n * k).reshape(
             n, k
-        ).astype(np.float32)
+        ).astype(hub_np)
         src, dst, w = src[~hubm], dst[~hubm], w[~hubm]
         hub_ids = hubs
     return src, dst, w, diag, hub_ids, hub_m
@@ -234,6 +266,7 @@ def prepare_chunked(
     hub_k="auto",
     max_hub_bytes: int = 512 << 20,
     chunk: Optional[int] = None,
+    hub_dtype=None,
 ) -> ChunkedAdj:
     """Re-layout a dst-sorted ``SparseAdj`` into per-tile whole chunks.
 
@@ -241,6 +274,12 @@ def prepare_chunked(
     block is always written.  Host-side numpy; run once per graph and reuse
     across hops/epochs.  ``split_diag``/``hub_k`` move self-loops and
     high-out-degree sources out of the gather path (see :class:`ChunkedAdj`).
+
+    ``hub_dtype=jnp.bfloat16`` stores the dense hub strip in bf16 (for
+    bf16-feature pipelines): the strip stream halves — measured −4.4%/hop
+    on the bench graph (10.75 → 10.28 ms, ``dev/exp_spmm --hub16``) with
+    numerics unchanged (the MXU pass is bf16 either way under DEFAULT
+    precision; same rel err vs the f32 segment reference).
     """
     src = np.asarray(adj.src)
     dst = np.asarray(adj.dst)
@@ -254,7 +293,7 @@ def prepare_chunked(
 
     src, dst, w, diag, hub_ids, hub_m = split_extras(
         src, dst, w, n, split_diag=split_diag, hub_k=hub_k,
-        max_hub_bytes=max_hub_bytes,
+        max_hub_bytes=max_hub_bytes, hub_dtype=hub_dtype,
     )
 
     out_src, out_dst, out_w, chunk_tile = chunk_layout_np(
@@ -317,8 +356,9 @@ def _seg_kernel_single(chunk_tile_ref, dst_ref, hi_ref, out_ref):
         out_ref[:] = jnp.zeros_like(out_ref)
 
     chunk = dst_ref.shape[-1]
-    local = dst_ref[0] - tile * TILE_R
-    rows = jax.lax.broadcasted_iota(jnp.int32, (TILE_R, chunk), 0)
+    tile_r = out_ref.shape[0]
+    local = dst_ref[0] - tile * tile_r
+    rows = jax.lax.broadcasted_iota(jnp.int32, (tile_r, chunk), 0)
     onehot = (local == rows).astype(jnp.bfloat16)
     out_ref[:] += jax.lax.dot_general(
         onehot,
@@ -338,9 +378,10 @@ def _seg_kernel(chunk_tile_ref, dst_ref, hi_ref, lo_ref, out_ref):
         out_ref[:] = jnp.zeros_like(out_ref)
 
     chunk = dst_ref.shape[-1]
-    local = dst_ref[0] - tile * TILE_R  # (1, chunk)
-    rows = jax.lax.broadcasted_iota(jnp.int32, (TILE_R, chunk), 0)
-    onehot = (local == rows).astype(jnp.bfloat16)  # (TILE_R, chunk)
+    tile_r = out_ref.shape[0]
+    local = dst_ref[0] - tile * tile_r  # (1, chunk)
+    rows = jax.lax.broadcasted_iota(jnp.int32, (tile_r, chunk), 0)
+    onehot = (local == rows).astype(jnp.bfloat16)  # (tile_r, chunk)
 
     def mm(m):
         return jax.lax.dot_general(
@@ -353,8 +394,13 @@ def _seg_kernel(chunk_tile_ref, dst_ref, hi_ref, lo_ref, out_ref):
     out_ref[:] += mm(hi_ref[0]) + mm(lo_ref[0])
 
 
-@functools.partial(jax.jit, static_argnames=("num_nodes", "interpret"))
-def _segment_reduce_mxu(hi, lo, dst, chunk_tile, num_nodes: int, interpret: bool = False):
+@functools.partial(
+    jax.jit, static_argnames=("num_nodes", "interpret", "tile_r")
+)
+def _segment_reduce_mxu(
+    hi, lo, dst, chunk_tile, num_nodes: int, interpret: bool = False,
+    tile_r: int = TILE_R,
+):
     """Tile-chunked segment sum via the Pallas kernel.
 
     hi/lo: [E', D] bf16 message halves (E' = n_chunks * chunk, D % 128 == 0).
@@ -363,12 +409,21 @@ def _segment_reduce_mxu(hi, lo, dst, chunk_tile, num_nodes: int, interpret: bool
     dst:   [E'] int32; chunk_tile: [n_chunks] int32 (non-decreasing).
     The chunk size is derived from the shapes (layouts built with any
     ``prepare_chunked`` chunk setting stay valid).
+
+    ``tile_r`` is the output-block height in rows (default 128).  Wider
+    blocks let one chunk cover what would otherwise be ``tile_r/128``
+    tiles — the lever that removes the ring layout's per-tile coverage
+    floor (every bucket must chunk every block it writes) at pod-scale P.
+    The one-hot grows to (tile_r, chunk), costing ~tile_r/128 more MXU per
+    slot, so wide blocks only pay where they delete padding slots — the
+    layout builder's cost model decides.
     """
     e_pad, d = hi.shape
     n_chunks = chunk_tile.shape[0]
     chunk = e_pad // n_chunks
     assert e_pad == n_chunks * chunk and d % 128 == 0
-    n_tiles = pl.cdiv(num_nodes, TILE_R)
+    assert tile_r % TILE_R == 0
+    n_tiles = pl.cdiv(num_nodes, tile_r)
     hi3 = hi.reshape(n_chunks, chunk, d)
     dst3 = dst.reshape(n_chunks, 1, chunk)
     msg_spec = pl.BlockSpec((1, chunk, d), lambda c, ct: (c, 0, 0))
@@ -388,17 +443,17 @@ def _segment_reduce_mxu(hi, lo, dst, chunk_tile, num_nodes: int, interpret: bool
         grid=(n_chunks,),
         in_specs=in_specs,
         out_specs=pl.BlockSpec(
-            (TILE_R, d), lambda c, ct: (ct[c], 0), memory_space=pltpu.VMEM
+            (tile_r, d), lambda c, ct: (ct[c], 0), memory_space=pltpu.VMEM
         ),
     )
     out = pl.pallas_call(
         kernel,
-        out_shape=jax.ShapeDtypeStruct((n_tiles * TILE_R, d), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((n_tiles * tile_r, d), jnp.float32),
         grid_spec=grid_spec,
         interpret=interpret,
         cost_estimate=pl.CostEstimate(
-            flops=2 * passes * e_pad * TILE_R * d,
-            bytes_accessed=e_pad * (d * 2 * passes + 4) + n_tiles * TILE_R * d * 4,
+            flops=2 * passes * e_pad * tile_r * d,
+            bytes_accessed=e_pad * (d * 2 * passes + 4) + n_tiles * tile_r * d * 4,
             transcendentals=0,
         ),
     )(chunk_tile, *operands)
@@ -575,6 +630,7 @@ def prepare_chunked_parts(
     split_diag: bool = True,
     hub_k="auto",
     max_hub_bytes: int = 512 << 20,
+    hub_dtype=None,
 ):
     """Split a graph into tile-aligned parts so each part's message buffers
     fit in HBM — the single-chip path to billion-edge graphs (ogbn-products /
@@ -587,7 +643,8 @@ def prepare_chunked_parts(
     is disabled entirely).
     """
     full = prepare_chunked(
-        adj, split_diag=split_diag, hub_k=hub_k, max_hub_bytes=max_hub_bytes
+        adj, split_diag=split_diag, hub_k=hub_k, max_hub_bytes=max_hub_bytes,
+        hub_dtype=hub_dtype,
     )
     chunk_tile = np.asarray(full.chunk_tile)
     n_chunks = chunk_tile.shape[0]
