@@ -32,7 +32,7 @@ from typing import Optional
 import jax
 import jax.numpy as jnp
 import numpy as np
-from jax.sharding import Mesh, PartitionSpec as P
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from sgl_tpu.kernels.sparse import SparseAdj
 
@@ -218,6 +218,13 @@ class DistChunkedAdj:
     hub_m: Optional[jnp.ndarray]
     num_nodes: int
     block: int
+    # kernel output-block height in rows (a multiple of 128).  Wide blocks
+    # collapse the per-tile coverage floor — every bucket must emit >= 1
+    # chunk per 128-row tile it writes, P²·tiles·chunk slots total — by
+    # tile_rows/128, at ~tile_rows/128 more MXU per slot; the layout
+    # builder's cost model picks the minimizer (round-4 fix for the
+    # measured 4.42x padding at P=64).
+    tile_rows: int = 128
     # node relabeling (``order[new] = old``): datasets commonly assign ids
     # by degree, clustering every hub into tile 0 of owner 0 — one bucket
     # then inflates all P² bucket paddings (measured 54x at P=64 on a
@@ -247,7 +254,7 @@ class DistChunkedAdj:
             self.hub_in_ids,
             self.hub_in_m,
             self.tile_mask,
-        ), (self.num_nodes, self.block)
+        ), (self.num_nodes, self.block, self.tile_rows)
 
     @classmethod
     def tree_unflatten(cls, aux, leaves):
@@ -272,17 +279,28 @@ def partition_adj_chunked(
     hub_k="auto",
     max_hub_bytes: int = 512 << 20,
     chunk: Optional[int] = None,
+    tile_rows: Optional[int] = None,
     shuffle: bool = True,
     shuffle_seed: int = 0,
     skip_empty_tiles: bool = False,
 ) -> DistChunkedAdj:
     """Host-side partition into per-(owner, source-block) Pallas chunk
-    layouts.  ``block`` is rounded up to the kernel's 128-row tile.
+    layouts.  ``block`` is rounded up to the kernel's output-block height.
 
     ``shuffle`` relabels nodes by a fixed permutation before bucketing
     (see :class:`DistChunkedAdj.order`): degree-ordered node ids cluster
     hub destinations into one tile/owner, and the single densest bucket
     sets every bucket's padded size.
+
+    ``tile_rows`` is the kernel output-block height (``None`` = choose).
+    At pod-scale P the padding residual is the per-tile coverage floor —
+    every bucket pads every 128-row tile it writes to a whole chunk,
+    P²·tiles·chunk slots (measured 4.42x at P=64, docs/PERFORMANCE.md) —
+    and wider output blocks divide ``tiles`` down by tile_rows/128.  The
+    cost is ~tile_rows/128 more MXU work per slot (the one-hot scatter
+    grows), so the builder minimizes a measured-constant model,
+    ``slots × (3.5 ns production + 0.34 ns · tile_rows/128 scatter)``,
+    jointly over (tile_rows, chunk) instead of slots alone.
 
     ``skip_empty_tiles`` (opt-in) lets buckets emit chunks only for tiles
     they actually touch; a (P, P, tiles) ``tile_mask`` selects away the
@@ -291,21 +309,18 @@ def partition_adj_chunked(
     P=8..160, incl. the 100k-node table graph in docs/PERFORMANCE.md): it
     saves ZERO slots, because the shared bucket size ``e_b`` is set by the
     densest bucket, which always has full tile coverage on power-law
-    graphs — hence the default is off.  The per-tile coverage floor would
-    need a different attack (e.g. multi-tile chunks in the kernel).
+    graphs — hence the default is off (multi-tile output blocks above are
+    the fix that works).
     """
     from sgl_tpu.kernels.pallas_spmm import CHUNK, TILE_R, split_extras
 
     p = num_partitions
     n = adj.num_nodes
-    block = _round_up(-(-n // p), TILE_R)
-    n_pad = block * p
     src = np.asarray(adj.src)
     dst = np.asarray(adj.dst)
     w = np.asarray(adj.w)
     keep = w != 0
     src, dst, w = src[keep], dst[keep], w[keep]
-
 
     node_order = None
     if shuffle and p > 1:
@@ -320,60 +335,89 @@ def partition_adj_chunked(
         src, dst, w, n, split_diag=split_diag, hub_k=hub_k,
         max_hub_bytes=max_hub_bytes,
     )
-    if diag is not None:
-        diag = np.pad(diag, (0, n_pad - n))
-    if hub_m is not None:
-        hub_m = np.pad(hub_m, ((0, n_pad - n), (0, 0)))
 
     # dst-side super-hub split (see class docstring): a node's in-edges
     # from one source block are one indivisible (owner, sblk, tile) run,
     # and every bucket pads to the densest run — pull the top in-degree
-    # destinations into a column-sharded dense strip instead.
-    hub_in_ids = hub_in_m = None
+    # destinations into a column-sharded dense strip instead.  The strip
+    # matrix itself is built later (its column count is block·p, and
+    # ``block`` is only fixed after the tile_rows choice below).
+    hub_in_ids = None
+    hub_in_edges = None
     if hub_k not in (0, None) and p > 1 and src.size:
+        block0 = _round_up(-(-n // p), TILE_R)
         in_counts = np.bincount(dst, minlength=n)
         cutoff = max(n // 700, 32)
         k_in = int(np.count_nonzero(in_counts >= cutoff))
-        k_in = min(k_in, 4096, max_hub_bytes // max(4 * block, 1))
+        k_in = min(k_in, 4096, max_hub_bytes // max(4 * block0, 1))
         if k_in >= 16:
             hubs_in = np.argpartition(-in_counts, k_in - 1)[:k_in].astype(np.int32)
             row_of = np.full(n, -1, np.int64)
             row_of[hubs_in] = np.arange(k_in)
             m = row_of[dst] >= 0
-            flat_in = row_of[dst[m]] * n_pad + src[m]
-            hub_in_m = np.bincount(
-                flat_in, weights=w[m], minlength=k_in * n_pad
-            ).reshape(k_in, n_pad).astype(np.float32)
+            hub_in_edges = (row_of[dst[m]], src[m], w[m])
             src, dst, w = src[~m], dst[~m], w[~m]
             hub_in_ids = hubs_in
 
-    owner = dst // block
-    sblk = src // block
-    tiles = block // TILE_R
-    l_dst = (dst - owner * block).astype(np.int64)
-    tile_of = l_dst // TILE_R
-    # per (owner, sblk, tile) counts -> per-bucket padded chunk counts
-    flat = (owner * p + sblk) * tiles + tile_of
-    counts = np.bincount(flat, minlength=p * p * tiles).reshape(p * p, tiles)
+    # joint (tile_rows, chunk) selection: per candidate R the node blocks
+    # re-round (block must be a multiple of R), owners/buckets shift, and
+    # the (bucket, tile) run histogram changes — all bincount reductions,
+    # effectively free next to the edge sort below
+    def _bucket_counts(r):
+        blk = _round_up(-(-n // p), r)
+        own = dst // blk
+        sbk = src // blk
+        tls = blk // r
+        ld = (dst - own * blk).astype(np.int64)
+        flat = (own * p + sbk) * tls + (ld // r)
+        cnt = np.bincount(flat, minlength=p * p * tls).reshape(p * p, tls)
+        return blk, own, sbk, ld, cnt
 
-    def _layout_cost(c):
-        """Total slots for chunk size ``c``: every bucket pads to the
-        DENSEST bucket's chunk count (the arrays are (P², e_b))."""
-        pad_c = np.maximum(_round_up_arr_np(counts, c), c)
+    def _slots(cnt, c):
+        pad_c = np.maximum(_round_up_arr_np(cnt, c), c)
         if skip_empty_tiles:
-            pad_c = np.where(counts > 0, pad_c, 0)
+            pad_c = np.where(cnt > 0, pad_c, 0)
         return p * p * int(pad_c.sum(axis=1).max()), pad_c
 
-    if chunk is None:
-        # pick the chunk that minimizes total slots: at large P the
-        # single-chip chunk (512) pads every (owner, src-block, tile) run
-        # P·N-fold; the candidate set keeps the MXU matmul shaped (>= 32
-        # sublanes) and the eval is a bincount reduction — effectively free
-        chunk = min(
-            (32, 64, 128, 192, 256, 384, CHUNK),
-            key=lambda c: _layout_cost(c)[0],
-        )
-    padded = _layout_cost(chunk)[1]
+    chunk_cands = (
+        (chunk,) if chunk is not None else (32, 64, 128, 192, 256, 384, CHUNK)
+    )
+    if tile_rows is not None:
+        r_cands = (tile_rows,)
+    else:
+        # cap at 2048: the out block + (R, chunk) one-hot must fit VMEM
+        r_cands = (128, 256, 512, 1024, 2048)
+    best = None
+    for r in r_cands:
+        blk_r, *_rest, cnt_r = _bucket_counts(r)
+        for c in chunk_cands:
+            s, _ = _slots(cnt_r, c)
+            # measured per-slot constants (docs/PERFORMANCE.md): message
+            # production ~3.5 ns (gather-bound); one-hot scatter ~0.17 ns
+            # per 128 output rows per pass × 2 passes, measured at
+            # contraction 512 — a chunk below the MXU's 128 contraction
+            # still pays a full pass, hence the max(128/c, 1) factor
+            cost = s * (3.5 + 0.34 * (r / 128) * max(128 / c, 1.0))
+            if best is None or cost < best[0]:
+                best = (cost, r, c)
+    _, tile_r, chunk = best
+    block, owner, sblk, l_dst, counts = _bucket_counts(tile_r)
+    tiles = block // tile_r
+    n_pad = block * p
+
+    if diag is not None:
+        diag = np.pad(diag, (0, n_pad - n))
+    if hub_m is not None:
+        hub_m = np.pad(hub_m, ((0, n_pad - n), (0, 0)))
+    hub_in_m = None
+    if hub_in_edges is not None:
+        rows_in, src_in, w_in = hub_in_edges
+        k_in = hub_in_ids.shape[0]
+        hub_in_m = np.bincount(
+            rows_in * n_pad + src_in, weights=w_in, minlength=k_in * n_pad
+        ).reshape(k_in, n_pad).astype(np.float32)
+
+    _, padded = _slots(counts, chunk)
     c_max = max(int(padded.sum(axis=1).max()) // chunk, 1)
     e_b = c_max * chunk
 
@@ -398,8 +442,8 @@ def partition_adj_chunked(
             [ct, np.full(pad_chunks, pad_tile, np.int32)]
         )
         tile_idx = np.repeat(np.arange(tiles, dtype=np.int32), padded[bkt])
-        out_dst[bkt, : tile_idx.shape[0]] = tile_idx * TILE_R
-        out_dst[bkt, tile_idx.shape[0] :] = pad_tile * TILE_R
+        out_dst[bkt, : tile_idx.shape[0]] = tile_idx * tile_r
+        out_dst[bkt, tile_idx.shape[0] :] = pad_tile * tile_r
     tile_mask = None
     if skip_empty_tiles:
         # 1 where the kernel writes the tile's output block (visited
@@ -415,7 +459,7 @@ def partition_adj_chunked(
         sblk[order],
         l_dst[order],
     )
-    tile_s = l_dst_s // TILE_R
+    tile_s = l_dst_s // tile_r
     bkt_s = owner_s * p + sblk_s
     # position of each edge within its (bucket, tile) run
     run_id = bkt_s * tiles + tile_s
@@ -436,6 +480,7 @@ def partition_adj_chunked(
         hub_m=None if hub_m is None else jnp.asarray(hub_m),
         num_nodes=n,
         block=block,
+        tile_rows=tile_r,
         order=None if node_order is None else jnp.asarray(node_order),
         hub_in_ids=None if hub_in_ids is None else jnp.asarray(hub_in_ids),
         hub_in_m=None if hub_in_m is None else jnp.asarray(hub_in_m),
@@ -501,10 +546,11 @@ def _ring_spmm_local_chunked(
     has_hub: bool,
     has_hub_in: bool,
     has_mask: bool,
+    tile_r: int = 128,
 ):
     """Per-device ring body running the Pallas one-hot MXU kernel per
     bucket (see :class:`DistChunkedAdj`)."""
-    from sgl_tpu.kernels.pallas_spmm import TILE_R, _round_up, _segment_reduce_mxu
+    from sgl_tpu.kernels.pallas_spmm import _round_up, _segment_reduce_mxu
 
     src_b, dst_b, w_b, ct_b, mask_b = (
         src_b[0], dst_b[0], w_b[0], ct_b[0], mask_b[0]
@@ -521,7 +567,8 @@ def _ring_spmm_local_chunked(
         hi = msgs.astype(jnp.bfloat16)
         lo = (msgs - hi.astype(jnp.float32)).astype(jnp.bfloat16)
         out = _segment_reduce_mxu(
-            hi, lo, dst, ct, num_nodes=block, interpret=interpret
+            hi, lo, dst, ct, num_nodes=block, interpret=interpret,
+            tile_r=tile_r,
         )
         return out[:, :d]
 
@@ -541,7 +588,7 @@ def _ring_spmm_local_chunked(
             # uninitialized memory (NaN in interpret mode, arbitrary on
             # real HBM).  A multiply-mask CANNOT zero them (NaN*0=NaN,
             # Inf*0=NaN) — select so the garbage is never an operand.
-            rows = jnp.repeat(jnp.take(mask_b, b, axis=0), TILE_R)
+            rows = jnp.repeat(jnp.take(mask_b, b, axis=0), tile_r)
             out = jnp.where(rows[:, None] > 0, out, 0.0)
         y = y + out
         return (nxt, y), None
@@ -602,6 +649,7 @@ def make_dist_spmm(mesh: Mesh, axis: str = "graph", interpret: bool = False):
                 has_hub=has_hub,
                 has_hub_in=has_hub_in,
                 has_mask=has_mask,
+                tile_r=dadj.tile_rows,
             )
             # absent extras become tiny dummies (shard_map wants arrays)
             diag = dadj.diag if has_diag else jnp.zeros(p * dadj.block, jnp.float32)
@@ -672,6 +720,103 @@ def make_dist_spmm(mesh: Mesh, axis: str = "graph", interpret: bool = False):
     return spmm_dist
 
 
+class ShardedHops:
+    """Hop stack kept node-sharded over the ``graph`` mesh axis.
+
+    ``data`` is ``(K+1, P·block, D)`` (hop-major) or ``(P·block, D')``
+    (after an eager aggregation), with the node axis sharded — per-device
+    memory is ``O(N/P · D · K)``, the property that makes papers100M-scale
+    training possible (a replicated ``(K+1, N, D)`` stack is ~228 GB at
+    K=3, D=128 f32 — it cannot exist on one chip).  Batch rows come out
+    through :meth:`rows`: a ``shard_map`` lookup where each device
+    contributes the rows it owns and one ``(…, B, D)`` psum assembles the
+    batch — never an all-gather of the stack.  The layout's node shuffle
+    un-permutes for free here: ``new_of`` folds into the index lookup
+    (VERDICT r3 next #3).
+    """
+
+    def __init__(self, data, mesh, axis, block, num_nodes, new_of=None):
+        self.data = data
+        self.mesh = mesh
+        self.axis = axis
+        self.block = block
+        self.num_nodes = num_nodes
+        self.new_of = new_of  # old id -> layout id (None = identity)
+
+    @property
+    def per_device_bytes(self) -> int:
+        return sum(
+            s.data.nbytes for s in self.data.addressable_shards
+        ) // max(len(self.data.addressable_shards), 1)
+
+    def aggregate(self, fn) -> "ShardedHops":
+        """Apply a parameter-free hop aggregation (``(K+1, N, D) -> (N,
+        D')``) WITHOUT leaving the sharded domain: the reduction is over
+        the (unsharded) hop axis, so GSPMD keeps the node axis sharded."""
+        axis = self.axis
+
+        @jax.jit
+        def run(h):
+            out = fn(h)
+            return jax.lax.with_sharding_constraint(
+                out, NamedSharding(self.mesh, P(axis))
+            )
+
+        return ShardedHops(
+            run(self.data), self.mesh, axis, self.block, self.num_nodes,
+            new_of=self.new_of,
+        )
+
+    def rows(self, idx) -> jnp.ndarray:
+        """Gather batch rows (old node ids) from the sharded stack.
+        Returns ``(K+1, B, D)`` / ``(B, D')`` replicated."""
+        idx = jnp.asarray(idx, jnp.int32)
+        if self.new_of is not None:
+            idx = jnp.take(self.new_of, idx)
+        axis, block = self.axis, self.block
+
+        def body(data_l, idx):
+            p = jax.lax.axis_index(axis)
+            loc = idx - p * block
+            ok = (loc >= 0) & (loc < block)
+            safe = jnp.clip(loc, 0, block - 1)
+            ax = data_l.ndim - 2
+            rows = jnp.take(data_l, safe, axis=ax)
+            mask = ok.astype(rows.dtype)
+            rows = rows * (mask[:, None] if ax == 0 else mask[None, :, None])
+            return jax.lax.psum(rows, axis)
+
+        in_spec = P(axis) if self.data.ndim == 2 else P(None, axis)
+        return jax.shard_map(
+            body, mesh=self.mesh, in_specs=(in_spec, P()), out_specs=P(),
+            check_vma=False,
+        )(self.data, idx)
+
+    def map_rows(self, fn, *args) -> jnp.ndarray:
+        """Apply ``fn(shard_rows, *args)`` (e.g. a logits head with its
+        params) to every device's owned rows, returning the per-node
+        result with the node axis STILL sharded on axis 0 — full-graph
+        inference without ever replicating the stack.  ``args`` are
+        replicated (params pytrees)."""
+        axis = self.axis
+        in_spec = P(axis) if self.data.ndim == 2 else P(None, axis)
+        return jax.shard_map(
+            fn, mesh=self.mesh,
+            in_specs=(in_spec,) + tuple(P() for _ in args),
+            out_specs=P(axis), check_vma=False,
+        )(self.data, *args)
+
+    def gather_full(self) -> jnp.ndarray:
+        """Replicated, un-permuted ``(K+1, N, D)`` — tests/small graphs
+        only; defeats the sharding."""
+        out = self.data[..., : self.num_nodes, :] if self.data.ndim == 2 else (
+            self.data[:, : self.num_nodes, :]
+        )
+        if self.new_of is not None:
+            out = jnp.take(out, self.new_of, axis=out.ndim - 2)
+        return out
+
+
 def k_hop_propagate_dist(
     mesh: Mesh,
     dadj,
@@ -679,10 +824,16 @@ def k_hop_propagate_dist(
     prop_steps: int,
     axis: str = "graph",
     interpret: bool = False,
-) -> jnp.ndarray:
-    """Distributed ``[X, AX, ..., A^K X]``: returns ``(K+1, N, D)`` with the
-    node axis sharded over ``axis`` (un-padded rows sliced off).  ``dadj``
-    may be a :class:`DistAdj` (XLA segment compute) or a
+    keep_sharded: bool = False,
+):
+    """Distributed ``[X, AX, ..., A^K X]``.
+
+    Default: returns a replicated, un-permuted ``(K+1, N, D)`` array
+    (small graphs / parity tests).  ``keep_sharded=True`` returns a
+    :class:`ShardedHops` instead — the stack never materializes on one
+    device (per-device memory ``O(N/P·D·K)``), batch rows come out via a
+    psum lookup, and the node-shuffle un-permute folds into that lookup.
+    ``dadj`` may be a :class:`DistAdj` (XLA segment compute) or a
     :class:`DistChunkedAdj` (Pallas MXU compute; the TPU hot path)."""
     parts = mesh.shape[axis]
     order = getattr(dadj, "order", None)
@@ -690,6 +841,7 @@ def k_hop_propagate_dist(
         x = jnp.take(jnp.asarray(x), order, axis=0)  # x_perm[new] = x[order[new]]
     x_pad = pad_features(x, parts, block=dadj.block)
     spmm_dist = make_dist_spmm(mesh, axis, interpret=interpret)
+    sharding = NamedSharding(mesh, P(None, axis))
 
     @functools.partial(jax.jit, static_argnames=())
     def run(dadj, x_pad):
@@ -698,14 +850,21 @@ def k_hop_propagate_dist(
             return h2, h2
 
         _, hops = jax.lax.scan(step, x_pad, None, length=prop_steps)
-        return jnp.concatenate([x_pad[None], hops], axis=0)
+        out = jnp.concatenate([x_pad[None], hops], axis=0)
+        return jax.lax.with_sharding_constraint(out, sharding)
 
     out = run(dadj, x_pad)
-    out = out[:, : dadj.num_nodes, :]
+    new_of = None
     if order is not None:
-        # un-permute rows: out_old[old] = out_new[new_of[old]]
         new_of = jnp.zeros(dadj.num_nodes, jnp.int32).at[order].set(
             jnp.arange(dadj.num_nodes, dtype=jnp.int32)
         )
+    if keep_sharded:
+        return ShardedHops(
+            out, mesh, axis, dadj.block, dadj.num_nodes, new_of=new_of
+        )
+    out = out[:, : dadj.num_nodes, :]
+    if order is not None:
+        # un-permute rows: out_old[old] = out_new[new_of[old]]
         out = jnp.take(out, new_of, axis=1)
     return out
