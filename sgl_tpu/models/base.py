@@ -173,6 +173,13 @@ class SGAPModel:
         """Slice cached features for a node-index batch (device gather)."""
         if self.processed_feature is None:
             raise RuntimeError("call preprocess() before training")
+        if hasattr(self.processed_feature, "rows"):
+            # node-sharded hop cache (parallel.ShardedHops): rows come out
+            # through a psum lookup, never by replicating the stack
+            feats = self.processed_feature.rows(idx)
+            if self.pre_msg_learnable and self.node_major and feats.ndim == 3:
+                feats = jnp.moveaxis(feats, 0, 1)
+            return feats
         if self.pre_msg_learnable and not self.node_major:
             return jnp.take(self.processed_feature, idx, axis=1)
         return jnp.take(self.processed_feature, idx, axis=0)
@@ -189,6 +196,8 @@ class SGAPModel:
 
     def _num_cached_nodes(self) -> int:
         pf = self.processed_feature
+        if hasattr(pf, "num_nodes"):  # sharded hop cache
+            return int(pf.num_nodes)
         hop_major = self.pre_msg_learnable and not self.node_major
         return int(pf.shape[1] if hop_major else pf.shape[0])
 

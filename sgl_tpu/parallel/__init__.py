@@ -8,5 +8,6 @@ from sgl_tpu.parallel.spmm_dist import (
     make_dist_spmm,
     k_hop_propagate_dist,
     ring_padding_stats,
+    ShardedHops,
 )
 from sgl_tpu.parallel.train_dist import make_parallel_train_step, replicate_state

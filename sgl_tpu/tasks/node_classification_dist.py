@@ -34,25 +34,37 @@ class NodeClassificationDist(BaseTask):
         self,
         dataset,
         model: SGAPModel,
-        lr: float,
-        weight_decay: float,
-        epochs: int,
+        lr: Optional[float] = None,
+        weight_decay: Optional[float] = None,
+        epochs: Optional[int] = None,
         mesh_shape: Optional[Tuple[int, int]] = None,
         loss_fn=weighted_cross_entropy,
-        seed: int = 42,
+        seed: Optional[int] = None,
         train_batch_size: Optional[int] = None,
         verbose: bool = True,
+        sharded_hops: bool = True,
+        config=None,  # TrainConfig: defaults for the Nones above
     ):
         super().__init__()
+        from sgl_tpu.utils.config import TrainConfig
+
+        r = (config or TrainConfig()).resolve(
+            lr=lr, weight_decay=weight_decay, epochs=epochs, seed=seed,
+            train_batch_size=train_batch_size,
+        )
         self._dataset = dataset
         self._model = model
-        self._lr = lr
-        self._weight_decay = weight_decay
-        self._epochs = epochs
+        self._lr = r["lr"]
+        self._weight_decay = r["weight_decay"]
+        self._epochs = r["epochs"]
         self._loss_fn = loss_fn
-        self._seed = seed
-        self._train_batch_size = train_batch_size
+        self._seed = r["seed"]
+        self._train_batch_size = r["train_batch_size"]
         self._verbose = verbose
+        # keep the hop stack node-sharded over the graph axis end-to-end
+        # (per-device memory O(N/P·D·K)); False restores the replicated
+        # (K+1, N, D) cache for debugging/tiny graphs
+        self._sharded_hops = sharded_hops
         # deferred import: sgl_tpu.parallel imports tasks.utils, which would
         # cycle through the tasks package __init__
         from sgl_tpu.parallel import make_mesh
@@ -85,9 +97,20 @@ class NodeClassificationDist(BaseTask):
         adj = model.pre_graph_op.construct_adj(ds.graph)
         dadj = partition(adj, n_graph)
         hops = k_hop_propagate_dist(
-            mesh, dadj, ds.x, model.pre_graph_op.prop_steps, axis="graph"
+            mesh, dadj, ds.x, model.pre_graph_op.prop_steps, axis="graph",
+            keep_sharded=self._sharded_hops,
         )
-        if model.pre_msg_learnable:
+        if self._sharded_hops:
+            # the stack stays node-sharded (ShardedHops); batch rows come
+            # out through its psum lookup in model.batch_input.  Eager
+            # aggregation runs inside the sharded domain too.
+            if model.pre_msg_learnable:
+                model.processed_feature = hops
+            else:
+                model.processed_feature = hops.aggregate(
+                    lambda h: eager_aggregate(model.pre_msg_op, h)
+                )
+        elif model.pre_msg_learnable:
             # match SGAPModel.preprocess: node-major cache when the op
             # supports the transpose-free attention layout
             model.processed_feature = (
@@ -153,8 +176,25 @@ class NodeClassificationDist(BaseTask):
 
         # stage 3: post-propagation (distributed, same ring partition)
         if model.post_graph_op is not None:
-            all_idx = jnp.arange(ds.num_node)
-            outputs = logits_of(state.params, model.batch_input(all_idx))
+            pf = model.processed_feature
+            if self._sharded_hops:
+                # full-graph logits WITHOUT replicating the hop stack: the
+                # net runs on each device's owned rows (map_rows keeps the
+                # node axis sharded); only the small (N, C) logits are
+                # un-permuted back to dataset order
+                def head(rows_l, params):
+                    f = rows_l
+                    if f.ndim == 3 and model.node_major:
+                        f = jnp.moveaxis(f, 0, 1)
+                    return net.apply(params, f, train=False)
+
+                logits_pad = pf.map_rows(head, state.params)
+                outputs = logits_pad[: ds.num_node]
+                if pf.new_of is not None:
+                    outputs = jnp.take(outputs, pf.new_of, axis=0)
+            else:
+                all_idx = jnp.arange(ds.num_node)
+                outputs = logits_of(state.params, model.batch_input(all_idx))
             probs = jax.nn.softmax(outputs, axis=1)
             post_adj = model.post_graph_op.construct_adj(ds.graph)
             post_dadj = partition(post_adj, n_graph)

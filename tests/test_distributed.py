@@ -290,3 +290,76 @@ def test_ring_dst_hub_split_allclose_and_bounded_padding():
     for p, bound in [(8, 2.5), (32, 4.0), (64, 8.0)]:
         ratio = ring_padding_stats(partition_adj_chunked(adj, p))["ratio"]
         assert ratio < bound, (p, ratio)
+
+
+def test_sharded_hops_end_to_end():
+    """VERDICT r3 #3: the hop stack stays PartitionSpec('graph')-sharded
+    through training — per-device memory O(N/P·D·K), batch rows via the
+    psum lookup, un-permute folded into the lookup."""
+    from sgl_tpu.parallel import ShardedHops, partition_adj_chunked
+
+    g = random_graph(600, 12, seed=3)
+    adj = symmetric_normalized_weights(g)
+    mesh = make_mesh((1, 8))
+    dadj = partition_adj_chunked(adj, 8)  # shuffle active -> new_of in play
+    x = jnp.asarray(g.x, jnp.float32)
+    sh = k_hop_propagate_dist(
+        mesh, dadj, x, 3, interpret=True, keep_sharded=True
+    )
+    assert isinstance(sh, ShardedHops)
+    # 1) per-device memory is the sharded slice, not the full stack
+    n_pad = 8 * dadj.block
+    full_bytes = 4 * (3 + 1) * n_pad * x.shape[1]
+    assert sh.data.shape == (4, n_pad, x.shape[1])
+    shard_shapes = {s.data.shape for s in sh.data.addressable_shards}
+    assert shard_shapes == {(4, dadj.block, x.shape[1])}
+    assert sh.per_device_bytes * 8 == full_bytes
+    # 2) row lookup == the replicated reference (un-permute folded in)
+    want = k_hop_propagate(adj, x, 3)
+    idx = np.random.default_rng(0).choice(g.num_nodes, 64, replace=False)
+    got = sh.rows(jnp.asarray(idx))
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(want)[:, idx, :], rtol=2e-4, atol=2e-5
+    )
+    # 3) eager aggregation stays sharded
+    from sgl_tpu.models.base import eager_aggregate
+    from sgl_tpu.ops import MeanMessageOp
+
+    agg = sh.aggregate(lambda h: eager_aggregate(MeanMessageOp(0, 4), h))
+    assert agg.data.shape == (n_pad, x.shape[1])
+    assert {s.data.shape for s in agg.data.addressable_shards} == {
+        (dadj.block, x.shape[1])
+    }
+    got2 = agg.rows(jnp.asarray(idx))
+    want2 = eager_aggregate(MeanMessageOp(0, 4), want)[idx]
+    np.testing.assert_allclose(
+        np.asarray(got2), np.asarray(want2), rtol=2e-4, atol=2e-5
+    )
+    # 4) gather_full round-trips for tests
+    np.testing.assert_allclose(
+        np.asarray(sh.gather_full()), np.asarray(want), rtol=2e-4, atol=2e-5
+    )
+
+
+def test_node_classification_dist_sharded_matches_replicated():
+    """The sharded-hops task path (default) reproduces the replicated
+    path's result on the same seed — semantics unchanged, memory sharded."""
+    from sgl_tpu.datasets.synthetic import PlantedPartition
+    from sgl_tpu.models.homo import GAMLP
+    from sgl_tpu.tasks.node_classification_dist import NodeClassificationDist
+
+    ds = PlantedPartition(num_nodes=256, feat_dim=8, p_in=0.08, seed=9)
+
+    def run(sharded):
+        model = GAMLP(2, ds.num_features, ds.num_classes, hidden_dim=16,
+                      num_layers=2)
+        task = NodeClassificationDist(
+            ds, model, lr=0.05, weight_decay=5e-5, epochs=6,
+            mesh_shape=(2, 4), verbose=False, sharded_hops=sharded,
+        )
+        return task.test_acc
+
+    acc_s = run(True)
+    acc_r = run(False)
+    assert acc_s > 0.6, acc_s
+    assert abs(acc_s - acc_r) < 0.15, (acc_s, acc_r)
