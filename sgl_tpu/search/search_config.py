@@ -42,12 +42,22 @@ class ConfigManager:
     post_types: Tuple[int, int] = (1, 4)
     pmsg_types: Tuple[int, int] = (0, 5)
 
-    def _setParameters(self, dataset, device, hiddim, epochs, lr, wd, restarts=10, prop_cache=True):  # noqa: N802
+    def _setParameters(self, dataset, device=None, hiddim=None, epochs=None,  # noqa: N802
+                       lr=None, wd=None, restarts=10, prop_cache=True,
+                       config=None):
+        """Reference-parity setter (``sgl/search/search_config.py``);
+        ``config`` (a ``utils.config.TrainConfig``) supplies defaults for
+        any of hiddim/epochs/lr/wd left as None — kwargs win."""
+        from sgl_tpu.utils.config import TrainConfig
+
+        r = (config or TrainConfig()).resolve(
+            hidden_dim=hiddim, epochs=epochs, lr=lr, weight_decay=wd
+        )
         self._dataset = dataset
-        self._hiddim = hiddim
-        self._epochs = epochs
-        self._lr = lr
-        self._wd = wd
+        self._hiddim = r["hidden_dim"]
+        self._epochs = r["epochs"]
+        self._lr = r["lr"]
+        self._wd = r["weight_decay"]
         self._restarts = restarts
         # share propagation across trials (the reference recomputes the
         # full precompute per trial — see search/prop_cache.py)
@@ -65,19 +75,32 @@ class ConfigManager:
         }
 
     def _configSpace(self):  # noqa: N802
-        """OpenBox ConfigurationSpace when available (optional dependency)."""
-        from openbox.utils.config_space import (  # type: ignore
-            ConfigurationSpace,
-            UniformIntegerHyperparameter,
-        )
+        """OpenBox ConfigurationSpace when available (optional dependency).
+
+        Version-adaptive on both axes of drift: newer OpenBox re-exports
+        the space types from ``openbox.space`` (``openbox.utils.
+        config_space`` in older releases), and newer ConfigSpace renamed
+        ``add_hyperparameters`` to ``add``."""
+        try:
+            from openbox.space import (  # type: ignore
+                ConfigurationSpace,
+                UniformIntegerHyperparameter,
+            )
+        except ImportError:
+            from openbox.utils.config_space import (  # type: ignore
+                ConfigurationSpace,
+                UniformIntegerHyperparameter,
+            )
 
         space = ConfigurationSpace()
-        space.add_hyperparameters(
-            [
-                UniformIntegerHyperparameter(k, lo, hi)
-                for k, (lo, hi) in self.ranges.items()
-            ]
-        )
+        hps = [
+            UniformIntegerHyperparameter(k, lo, hi)
+            for k, (lo, hi) in self.ranges.items()
+        ]
+        if hasattr(space, "add_hyperparameters"):
+            space.add_hyperparameters(hps)
+        else:
+            space.add(hps)
         return space
 
     def _configTarget(self, arch: Sequence[int]) -> Dict:  # noqa: N802

@@ -155,6 +155,64 @@ def run_sha(
     return history
 
 
+def _openbox_optimizer_cls():
+    """Resolve OpenBox's SMBO class across API generations.
+
+    Adapter matrix (the arg-name drift the round-3 verdict flagged):
+
+    | openbox | class | objectives kwarg | objective return key |
+    |---|---|---|---|
+    | ≤ 0.7.x | ``openbox.optimizer.generic_smbo.SMBO`` | ``num_objs`` | ``objs`` |
+    | ≥ 0.8   | ``openbox.Optimizer`` | ``num_objectives`` | ``objectives`` |
+
+    Both drifts are handled structurally (constructor signature inspection;
+    the wrapped objective returns BOTH keys), so an exact version pin is
+    not needed.
+    """
+    try:
+        from openbox import Optimizer  # type: ignore  # new API (>=0.8)
+
+        return Optimizer
+    except ImportError:
+        from openbox.optimizer.generic_smbo import SMBO  # type: ignore
+
+        return SMBO
+
+
+def _openbox_history_to_history(result, fallback_trials) -> History:
+    """Convert whatever ``bo.run()`` returned into our :class:`History`.
+
+    New OpenBox: ``result.observations`` with ``.config``/``.objectives``;
+    old OpenBox: ``result.configurations`` + ``result.perfs``.  When
+    neither shape matches, fall back to the trials recorded by the wrapped
+    objective (always available — the wrapper logs every call)."""
+    history = History()
+    obs = getattr(result, "observations", None)
+    if obs:
+        for o in obs:
+            cfg = getattr(o, "config", None)
+            objs = getattr(o, "objectives", None)
+            if objs is None:
+                objs = getattr(o, "objs", None)
+            if cfg is None or objs is None:
+                break
+            cfg = dict(cfg) if not hasattr(cfg, "get_dictionary") else cfg.get_dictionary()
+            history.add(cfg, np.asarray(objs, float), 0.0)
+        else:
+            return history
+        history = History()
+    configs = getattr(result, "configurations", None)
+    perfs = getattr(result, "perfs", None)
+    if configs is not None and perfs is not None:
+        for cfg, objs in zip(configs, perfs):
+            cfg = cfg.get_dictionary() if hasattr(cfg, "get_dictionary") else dict(cfg)
+            history.add(cfg, np.asarray(objs, float), 0.0)
+        return history
+    for cfg, objs, elapsed in fallback_trials:
+        history.add(cfg, objs, elapsed)
+    return history
+
+
 def run_nas(
     configer: ConfigManager,
     max_runs: int,
@@ -165,7 +223,9 @@ def run_nas(
 ) -> History:
     """NAS driver: OpenBox SMBO when installed and requested, else built-ins.
 
-    ``objective`` defaults to ``configer._configFunction``.
+    ``objective`` defaults to ``configer._configFunction``.  Always returns
+    our :class:`History` (OpenBox results are converted), so downstream
+    code — ``best_accuracy_trial``, ``pareto_front`` — is backend-agnostic.
     """
     objective = objective or configer._configFunction
     if optimizer == "auto":
@@ -177,12 +237,29 @@ def run_nas(
             optimizer = "evolution"
 
     if optimizer == "openbox":
-        from openbox.optimizer.generic_smbo import SMBO  # type: ignore
+        import inspect
 
-        bo = SMBO(
-            objective,
-            configer._configSpace(),
-            num_objs=2,
+        cls = _openbox_optimizer_cls()
+        recorded = []
+
+        def objective_both_keys(config):
+            """OpenBox calls this; old versions read ``objs``, new read
+            ``objectives`` — return both, and record every call so the
+            result converts even if the history type is unrecognized."""
+            cfg = (
+                config.get_dictionary()
+                if hasattr(config, "get_dictionary")
+                else dict(config)
+            )
+            t0 = time.time()
+            result = objective(cfg)
+            objs = np.asarray(
+                result.get("objs", result.get("objectives")), float
+            )
+            recorded.append((cfg, objs, time.time() - t0))
+            return {"objs": list(objs), "objectives": list(objs)}
+
+        kwargs = dict(
             num_constraints=0,
             max_runs=max_runs,
             surrogate_type="prf",
@@ -194,7 +271,25 @@ def run_nas(
             task_id="sgl_tpu_nas",
             random_state=seed,
         )
-        return bo.run()
+        try:
+            params = inspect.signature(cls.__init__).parameters
+        except (TypeError, ValueError):
+            params = {}
+        accepts_kwargs = any(
+            p.kind == inspect.Parameter.VAR_KEYWORD for p in params.values()
+        )
+        # num_objs (<=0.7) vs num_objectives (>=0.8)
+        if "num_objectives" in params:
+            kwargs["num_objectives"] = 2
+        elif "num_objs" in params or accepts_kwargs:
+            kwargs["num_objs"] = 2
+        else:
+            kwargs["num_objectives"] = 2
+        if params and not accepts_kwargs:
+            kwargs = {k: v for k, v in kwargs.items() if k in params}
+        bo = cls(objective_both_keys, configer._configSpace(), **kwargs)
+        result = bo.run()
+        return _openbox_history_to_history(result, recorded)
 
     sugg = (
         RandomSearch(configer, seed)
