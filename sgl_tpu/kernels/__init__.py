@@ -21,8 +21,10 @@ from sgl_tpu.kernels.spmm_ooc import (  # noqa: E402
     OutOfCoreAdj,
     OutOfCoreAdj2D,
     k_hop_out_of_core,
+    load_out_of_core_2d,
     prepare_out_of_core,
     prepare_out_of_core_2d,
+    save_out_of_core_2d,
     spmm_out_of_core,
     spmm_out_of_core_2d,
 )

@@ -41,6 +41,8 @@ from __future__ import annotations
 import dataclasses
 import functools
 import logging
+import os
+import time
 from typing import Callable, List, Optional
 
 import jax
@@ -249,6 +251,9 @@ class OutOfCoreAdj2D:
     parts: List[List[OocSubPart]]  # [part][block]
     diag: Optional[np.ndarray]
     _dev_edges: dict = dataclasses.field(default_factory=dict, repr=False)
+    # null-transfer measurement mode: one shared device workspace per
+    # dtype (see spmm_out_of_core_2d(null_transfer=True))
+    _dev_ws: dict = dataclasses.field(default_factory=dict, repr=False)
 
     @property
     def num_parts(self) -> int:
@@ -274,8 +279,14 @@ def prepare_out_of_core_2d(
     split_diag: bool = True,
     chunk: Optional[int] = None,
     strict: bool = False,
+    cache_dir: Optional[str] = None,
 ) -> OutOfCoreAdj2D:
     """Build the 2-D out-of-core layout (see :class:`OutOfCoreAdj2D`).
+
+    ``cache_dir`` enables a content-keyed on-disk cache: the ~100 s
+    products-scale build (cell-key argsort + per-cell packing) is saved
+    once and warm runs load it in seconds.  The key hashes the full edge
+    arrays and every layout parameter.
 
     ``src_blocks`` sets the column-block count: block workspaces are
     ``ceil(n/src_blocks)`` rows, so pick it to fit
@@ -303,6 +314,22 @@ def prepare_out_of_core_2d(
     w = np.asarray(w, np.float32)
     keep = w != 0
     src, dst, w = src[keep], dst[keep], w[keep]
+
+    cache_path = None
+    if cache_dir is not None:
+        os.makedirs(cache_dir, exist_ok=True)
+        cache_path = _layout_cache_path(
+            cache_dir, src, dst, w, n, max_edges_per_part, src_blocks,
+            split_diag, chunk or 128,
+        )
+        if os.path.exists(cache_path):
+            t0 = time.time()
+            oc = load_out_of_core_2d(cache_path)
+            logger.info(
+                "2-D out-of-core layout loaded from cache in %.1fs (%s)",
+                time.time() - t0, cache_path,
+            )
+            return oc
 
     diag = None
     if split_diag:
@@ -454,7 +481,7 @@ def prepare_out_of_core_2d(
         n_parts, k, sum(1 for row in parts for s in row if s.n_edges),
         n_classes, real_edges, slots, slots / max(real_edges, 1), sb, n_rows,
     )
-    return OutOfCoreAdj2D(
+    oc = OutOfCoreAdj2D(
         num_nodes=n,
         n_rows=n_rows,
         block_rows=sb,
@@ -467,6 +494,87 @@ def prepare_out_of_core_2d(
         parts=parts,
         diag=diag,
     )
+    if cache_path is not None:
+        t0 = time.time()
+        save_out_of_core_2d(oc, cache_path)
+        logger.info(
+            "2-D out-of-core layout cached in %.1fs (%s)",
+            time.time() - t0, cache_path,
+        )
+    return oc
+
+
+def save_out_of_core_2d(oc: OutOfCoreAdj2D, path) -> None:
+    """Persist a 2-D layout to ``path`` (.npz, uncompressed for load
+    speed).  The products-scale build costs ~100 s (cell-key argsort);
+    a warm load is seconds — see ``prepare_out_of_core_2d(cache_dir=)``
+    for the transparent content-keyed cache."""
+    arrays = {
+        "meta": np.asarray(
+            [oc.num_nodes, oc.n_rows, oc.block_rows, oc.num_blocks,
+             len(oc.parts)], np.int64
+        ),
+        "row_offsets": np.asarray(oc.row_offsets, np.int64),
+        "valid_rows": np.asarray(oc.valid_rows, np.int64),
+        "has_diag": np.asarray([oc.diag is not None], np.uint8),
+    }
+    if oc.diag is not None:
+        arrays["diag"] = oc.diag
+    for p, row in enumerate(oc.parts):
+        for b, s in enumerate(row):
+            k = f"c{p}_{b}_"
+            arrays[k + "src"] = s.src
+            arrays[k + "dst"] = s.dst
+            arrays[k + "w"] = s.w
+            arrays[k + "ct"] = s.chunk_tile
+            arrays[k + "mask"] = s.tile_mask
+            arrays[k + "ne"] = np.asarray([s.n_edges], np.int64)
+    tmp = str(path) + ".tmp"
+    with open(tmp, "wb") as f:
+        np.savez(f, **arrays)
+    os.replace(tmp, path)  # atomic: a crashed save never half-caches
+
+
+def load_out_of_core_2d(path) -> OutOfCoreAdj2D:
+    """Load a layout saved by :func:`save_out_of_core_2d`."""
+    z = np.load(path)
+    num_nodes, n_rows, block_rows, num_blocks, n_parts = z["meta"].tolist()
+    parts = []
+    for p in range(n_parts):
+        row = []
+        for b in range(num_blocks):
+            k = f"c{p}_{b}_"
+            row.append(OocSubPart(
+                z[k + "src"], z[k + "dst"], z[k + "w"], z[k + "ct"],
+                z[k + "mask"], int(z[k + "ne"][0]),
+            ))
+        parts.append(row)
+    return OutOfCoreAdj2D(
+        num_nodes=int(num_nodes),
+        n_rows=int(n_rows),
+        block_rows=int(block_rows),
+        num_blocks=int(num_blocks),
+        row_offsets=z["row_offsets"].tolist(),
+        valid_rows=z["valid_rows"].tolist(),
+        parts=parts,
+        diag=z["diag"] if bool(z["has_diag"][0]) else None,
+    )
+
+
+def _layout_cache_path(cache_dir, src, dst, w, n, max_edges_per_part,
+                       src_blocks, split_diag, chunk):
+    """Content-keyed cache path: the key hashes the full edge arrays plus
+    every layout parameter, so a changed graph or config never aliases."""
+    import hashlib
+
+    h = hashlib.sha1()
+    h.update(
+        f"v1|{n}|{max_edges_per_part}|{src_blocks}|{split_diag}|{chunk}|"
+        f"{src.shape[0]}".encode()
+    )
+    for a in (src, dst, w):
+        h.update(np.ascontiguousarray(a).tobytes())
+    return os.path.join(cache_dir, f"ooc2d_{h.hexdigest()}.npz")
 
 
 @functools.partial(
@@ -505,10 +613,20 @@ def spmm_out_of_core_2d(
     interpret: bool = False,
     max_device_edge_bytes: int = 4 << 30,
     max_device_acc_bytes: int = 2 << 30,
+    null_transfer: bool = False,
 ) -> np.ndarray:
     """``y = adj @ x`` via the 2-D layout: block workspaces are contiguous
     slices of ``x`` (no host gather), each uploaded once per accumulator
-    group.  See :class:`OutOfCoreAdj2D`."""
+    group.  See :class:`OutOfCoreAdj2D`.
+
+    ``null_transfer=True`` is the MEASUREMENT mode that bounds the 2-D
+    path's non-transfer overhead on hardware (the 1-D analog bounded its
+    compute at 0.574 s/hop): the identical per-cell jitted step chain runs
+    against ONE device-resident block workspace shared across blocks (edge
+    indices stay real; workspace content does not affect timing) with the
+    H2D block uploads and D2H readbacks skipped.  The returned array is
+    NOT the SpMM result in this mode.
+    """
     x_host = np.ascontiguousarray(x_host)
     d = x_host.shape[1]
     if out is None:
@@ -533,15 +651,29 @@ def spmm_out_of_core_2d(
 
     n = oc.num_nodes
     sb = oc.block_rows
+    ws_shared = None
+    if null_transfer:
+        key = np.dtype(x_host.dtype).name
+        ws_shared = oc._dev_ws.get(key)
+        if ws_shared is None:
+            xw0 = x_host[:sb]
+            if xw0.shape[0] < sb:
+                xw0 = np.pad(xw0, ((0, sb - xw0.shape[0]), (0, 0)))
+            ws_shared = jnp.asarray(xw0)
+            oc._dev_ws[key] = ws_shared
+    last_acc = None
     for g_lo in range(0, oc.num_parts, group):
         g = range(g_lo, min(g_lo + group, oc.num_parts))
         accs = {p: jnp.zeros((oc.n_rows, d), jnp.float32) for p in g}
         for b in range(oc.num_blocks):
-            lo, hi = b * sb, min((b + 1) * sb, n)
-            xw = x_host[lo:hi]
-            if hi - lo < sb:  # last block pads to the uniform shape
-                xw = np.pad(xw, ((0, sb - (hi - lo)), (0, 0)))
-            xw_dev = None  # upload lazily: skip if no cell in g needs it
+            if null_transfer:
+                xw_dev = ws_shared
+            else:
+                lo, hi = b * sb, min((b + 1) * sb, n)
+                xw = x_host[lo:hi]
+                if hi - lo < sb:  # last block pads to the uniform shape
+                    xw = np.pad(xw, ((0, sb - (hi - lo)), (0, 0)))
+                xw_dev = None  # upload lazily: skip if no cell in g needs it
             for p in g:
                 s = oc.parts[p][b]
                 if s.n_edges == 0:
@@ -565,11 +697,20 @@ def spmm_out_of_core_2d(
                     interpret=interpret,
                     masked=not bool(s.tile_mask.all()),
                 )
+        if null_transfer:
+            last_acc = accs[max(g)]
+            continue  # no readback in measurement mode
         for p in g:
             off, valid = oc.row_offsets[p], oc.valid_rows[p]
             out[off:off + valid] = np.asarray(
                 accs[p][:valid]
             ).astype(out.dtype)
+    if null_transfer:
+        # a 1-element fetch is a REAL sync even where block_until_ready
+        # returns early (the tunneled dev chip); cells execute in program
+        # order, so the last accumulator's completion implies all of them
+        np.asarray(last_acc[:1, :1])
+        return out
 
     if oc.diag is not None:
         for lo in range(0, oc.num_nodes, _DIAG_WINDOW):

@@ -537,3 +537,62 @@ def test_graph_op_propagate_out_of_core():
     assert op._adj_cache[2] is not oc_first
     with pytest.raises(ValueError):
         op.propagate_out_of_core(g, np.asarray(g.x), layout="3d")
+
+
+def test_out_of_core_2d_null_transfer_mode():
+    """2-D measurement mode (VERDICT r3 #5): same per-cell step chain, one
+    shared block workspace, no host traffic; real path stays exact after."""
+    from sgl_tpu.datasets.synthetic import random_power_law_graph
+    from sgl_tpu.kernels import prepare_out_of_core_2d, spmm_out_of_core_2d
+
+    g = random_power_law_graph(3_000, 4, 6, seed=17, alpha=1.4,
+                               pad_multiple=1024)
+    adj = symmetric_normalized_weights(g)
+    x = np.asarray(g.x)
+    oc = prepare_out_of_core_2d(
+        adj, max_edges_per_part=4 * 128, src_blocks=4, chunk=128
+    )
+    spmm_out_of_core_2d(oc, x, interpret=True, null_transfer=True)
+    assert len(oc._dev_ws) == 1  # one shared workspace, not one per block
+    ws = next(iter(oc._dev_ws.values()))
+    spmm_out_of_core_2d(oc, x, interpret=True, null_transfer=True)
+    assert next(iter(oc._dev_ws.values())) is ws  # reused across calls
+    real = spmm_out_of_core_2d(oc, x, interpret=True)
+    np.testing.assert_allclose(real, _scipy_of(adj) @ x, rtol=1e-4, atol=1e-5)
+
+
+def test_out_of_core_2d_layout_cache(tmp_path):
+    """Content-keyed on-disk layout cache: second build loads the saved
+    layout (byte-identical result); a changed graph or config misses."""
+    from sgl_tpu.datasets.synthetic import random_power_law_graph
+    from sgl_tpu.kernels import prepare_out_of_core_2d, spmm_out_of_core_2d
+
+    g = random_power_law_graph(2_000, 4, 6, seed=5, alpha=1.3,
+                               pad_multiple=1024)
+    adj = symmetric_normalized_weights(g)
+    x = np.asarray(g.x)
+    cd = str(tmp_path)
+    oc1 = prepare_out_of_core_2d(
+        adj, max_edges_per_part=4 * 128, src_blocks=4, cache_dir=cd
+    )
+    import os
+
+    files = os.listdir(cd)
+    assert len(files) == 1 and files[0].startswith("ooc2d_")
+    oc2 = prepare_out_of_core_2d(
+        adj, max_edges_per_part=4 * 128, src_blocks=4, cache_dir=cd
+    )
+    assert len(os.listdir(cd)) == 1  # cache hit, no second file
+    assert oc2.num_nodes == oc1.num_nodes and oc2.n_rows == oc1.n_rows
+    for r1, r2 in zip(oc1.parts, oc2.parts):
+        for s1, s2 in zip(r1, r2):
+            np.testing.assert_array_equal(s1.src, s2.src)
+            np.testing.assert_array_equal(s1.w, s2.w)
+            assert s1.n_edges == s2.n_edges
+    got = spmm_out_of_core_2d(oc2, x, interpret=True)
+    np.testing.assert_allclose(got, _scipy_of(adj) @ x, rtol=1e-4, atol=1e-5)
+    # different config -> different key (no aliasing)
+    prepare_out_of_core_2d(
+        adj, max_edges_per_part=8 * 128, src_blocks=4, cache_dir=cd
+    )
+    assert len(os.listdir(cd)) == 2
