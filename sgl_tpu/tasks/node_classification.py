@@ -35,27 +35,35 @@ class NodeClassification(BaseTask):
         self,
         dataset,
         model: SGAPModel,
-        lr: float,
-        weight_decay: float,
-        epochs: int,
+        lr: Optional[float] = None,
+        weight_decay: Optional[float] = None,
+        epochs: Optional[int] = None,
         device=None,  # accepted for API parity; placement is JAX's job
         loss_fn: Callable = weighted_cross_entropy,
-        seed: int = 42,
+        seed: Optional[int] = None,
         train_batch_size: Optional[int] = None,
         eval_batch_size: Optional[int] = None,
         verbose: bool = True,
         precompute_dtype=None,  # e.g. jnp.bfloat16: +25% SpMM, half hop memory
+        config=None,  # TrainConfig: defaults for the Nones above
     ):
         super().__init__()
+        from sgl_tpu.utils.config import TrainConfig
+
+        r = (config or TrainConfig()).resolve(
+            lr=lr, weight_decay=weight_decay, epochs=epochs, seed=seed,
+            train_batch_size=train_batch_size,
+            eval_batch_size=eval_batch_size,
+        )
         self._dataset = dataset
         self._model = model
-        self._lr = lr
-        self._weight_decay = weight_decay
-        self._epochs = epochs
+        self._lr = r["lr"]
+        self._weight_decay = r["weight_decay"]
+        self._epochs = r["epochs"]
         self._loss_fn = loss_fn
-        self._seed = seed
-        self._train_batch_size = train_batch_size
-        self._eval_batch_size = eval_batch_size
+        self._seed = r["seed"]
+        self._train_batch_size = r["train_batch_size"]
+        self._eval_batch_size = r["eval_batch_size"]
         self._verbose = verbose
         self._precompute_dtype = precompute_dtype
         self._test_acc = self._execute()

@@ -26,13 +26,16 @@ class TrainConfig:
     prop_steps: int = 3
 
     @classmethod
-    def from_args(cls, argv=None) -> "TrainConfig":
+    def from_args(cls, argv=None, defaults: "TrainConfig" = None) -> "TrainConfig":
+        """Parse ``--field value`` flags; ``defaults`` (e.g. a workload's
+        shipped config) seeds every unspecified flag."""
+        base = defaults or cls()
         parser = argparse.ArgumentParser()
         # field types are strings under `from __future__ import annotations`
         type_map = {"int": int, "float": float, "str": str}
         for f in dataclasses.fields(cls):
             t = type_map.get(str(f.type), int)  # Optional[int] etc. -> int
-            parser.add_argument(f"--{f.name}", type=t, default=f.default)
+            parser.add_argument(f"--{f.name}", type=t, default=getattr(base, f.name))
         ns, _ = parser.parse_known_args(argv)
         return cls(**vars(ns))
 
@@ -48,6 +51,17 @@ class TrainConfig:
 
     def replace(self, **kw) -> "TrainConfig":
         return dataclasses.replace(self, **kw)
+
+    def resolve(self, **overrides) -> Dict[str, Any]:
+        """Merge explicit (non-None) overrides over this config's fields.
+
+        The task/NAS constructors call this so one ``TrainConfig`` can
+        drive them all while per-call kwargs still win — SURVEY §5's "one
+        dataclass layer serving all three roles" (kwargs, CLI, NAS)."""
+        out = {}
+        for k, v in overrides.items():
+            out[k] = v if v is not None else getattr(self, k)
+        return out
 
 
 @dataclasses.dataclass

@@ -236,3 +236,39 @@ def test_plot_clusters_tsne(tmp_path):
     out = cm.plotClusters(emb, labels, path=str(tmp_path / "plot.png"))
     assert (tmp_path / "plot.png").stat().st_size > 0
     assert out.endswith("plot.png")
+
+
+def test_node_classification_from_train_config():
+    """SURVEY §5 'one dataclass layer serving all three roles': the task
+    constructs from a TrainConfig, and explicit kwargs still override."""
+    from sgl_tpu.datasets.synthetic import PlantedPartition
+    from sgl_tpu.models.homo import SGC
+    from sgl_tpu.tasks.node_classification import NodeClassification
+    from sgl_tpu.utils import TrainConfig
+
+    ds = PlantedPartition(num_nodes=200, feat_dim=8, p_in=0.1, seed=2)
+    cfg = TrainConfig(lr=0.1, weight_decay=5e-5, epochs=10, seed=7)
+    model = SGC(prop_steps=2, feat_dim=ds.num_features,
+                output_dim=ds.num_classes)
+    t = NodeClassification(ds, model, config=cfg, verbose=False)
+    assert t._epochs == 10 and t._lr == 0.1 and t._seed == 7
+    assert t.test_acc > 0.6
+    # kwarg overrides win over the config
+    model2 = SGC(prop_steps=2, feat_dim=ds.num_features,
+                 output_dim=ds.num_classes)
+    t2 = NodeClassification(ds, model2, epochs=3, config=cfg, verbose=False)
+    assert t2._epochs == 3 and t2._lr == 0.1
+
+
+def test_config_manager_from_train_config():
+    from sgl_tpu.datasets.synthetic import PlantedPartition
+    from sgl_tpu.search import ConfigManager
+    from sgl_tpu.utils import TrainConfig
+
+    ds = PlantedPartition(num_nodes=128, feat_dim=8, p_in=0.1, seed=3)
+    cfg = TrainConfig(lr=0.05, weight_decay=1e-4, epochs=4, hidden_dim=24)
+    configer = ConfigManager(arch=[2, 1, 0, 1, 0, 0, 0])
+    configer._setParameters(ds, None, epochs=6, config=cfg)  # kwarg wins
+    assert configer._epochs == 6
+    assert configer._lr == 0.05 and configer._wd == 1e-4
+    assert configer._hiddim == 24
