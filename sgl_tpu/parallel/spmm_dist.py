@@ -392,12 +392,14 @@ def partition_adj_chunked(
         blk_r, *_rest, cnt_r = _bucket_counts(r)
         for c in chunk_cands:
             s, _ = _slots(cnt_r, c)
-            # measured per-slot constants (docs/PERFORMANCE.md): message
-            # production ~3.5 ns (gather-bound); one-hot scatter ~0.17 ns
-            # per 128 output rows per pass × 2 passes, measured at
-            # contraction 512 — a chunk below the MXU's 128 contraction
-            # still pays a full pass, hence the max(128/c, 1) factor
-            cost = s * (3.5 + 0.34 * (r / 128) * max(128 / c, 1.0))
+            # measured per-slot model of the FULL bucket pipeline
+            # (gather ⊕ hi/lo ⊕ one-hot reduce), fitted to the 25-config
+            # (tile_r, chunk) sweep on v5e (dev/exp_spmm --tilecost):
+            # ~2.9 ns base (gather-bound production), +0.33 ns per 128
+            # output rows (the wider one-hot), +270 ns per CHUNK (grid
+            # step + dst-block DMA overhead — why minimum-padding tiny
+            # chunks lose in real time despite fewer slots)
+            cost = s * (2.9 + 0.33 * (r / 128) + 270.0 / c)
             if best is None or cost < best[0]:
                 best = (cost, r, c)
     _, tile_r, chunk = best
