@@ -150,6 +150,17 @@ class NodeClassificationDist(BaseTask):
                 jnp.mean(jnp.argmax(lg, axis=1) == labels[jnp.asarray(idx)])
             )
 
+        n_data = mesh.shape["data"]
+
+        def _pad_batch(b_idx, w):
+            """Pad to a multiple of the data axis with zero-weight wrap
+            rows (the weighted loss ignores them) so every batch shards."""
+            rem = (-len(b_idx)) % n_data
+            if rem:
+                b_idx = np.concatenate([b_idx, b_idx[:rem]])
+                w = np.concatenate([w, np.zeros(rem, w.dtype)])
+            return b_idx, w
+
         best_val, best_test = 0.0, 0.0
         for epoch in range(self._epochs):
             t = time.time()
@@ -157,6 +168,7 @@ class NodeClassificationDist(BaseTask):
             for b_idx, w in batch_iterator(
                 train_idx, self._train_batch_size, shuffle=True, rng=np_rng
             ):
+                b_idx, w = _pad_batch(np.asarray(b_idx), np.asarray(w))
                 feats = model.batch_input(jnp.asarray(b_idx))
                 f, l, wj = shard_batch(
                     feats, labels[jnp.asarray(b_idx)], jnp.asarray(w)

@@ -158,3 +158,45 @@ def test_gamlp_training_parity(ds):
         seeds,
     )
     assert abs(got - ref) <= 0.02, (got, ref)
+
+
+def test_gamlp_products_shaped_training_parity_bf16():
+    """bf16-precompute variant of the products-shaped band (VERDICT r3 #8):
+    the bf16 precompute is the documented production default, so its
+    TRAINING-parity — not just the feature-delta study — is pinned with
+    the same ±2-point band against the reference trained on f32."""
+    import jax.numpy as jnp
+
+    pds = PlantedPartition(
+        num_nodes=3000, num_classes=47, feat_dim=100,
+        p_in=0.15, p_out=0.001, feature_noise=4.0, seed=13,
+        train_ratio=0.08, val_ratio=0.02,
+    )
+    seeds = (42, 7, 19)
+    ref = _ref_acc(
+        pds,
+        lambda: RefGAMLP(3, pds.num_features, pds.num_classes, 512, 3),
+        0.1,
+        seeds,
+        epochs=60,
+    )
+    got = float(
+        np.mean(
+            [
+                NodeClassification(
+                    pds,
+                    GAMLP(3, pds.num_features, pds.num_classes,
+                          hidden_dim=512, num_layers=3),
+                    lr=0.1,
+                    weight_decay=5e-5,
+                    epochs=60,
+                    verbose=False,
+                    seed=seed,
+                    precompute_dtype=jnp.bfloat16,
+                ).test_acc
+                for seed in seeds
+            ]
+        )
+    )
+    assert 0.3 < ref < 0.98, ref
+    assert abs(got - ref) <= 0.02, (got, ref)
