@@ -152,8 +152,57 @@ def main_2d(n=2_400_000, avg_deg=25, d=100, part_edges=6 << 20,
     )
 
 
+def main_2d_null(n=2_400_000, avg_deg=25, d=100, part_edges=6 << 20,
+                 src_blocks=8, hops=4, cache_dir="./data/ooc2d_cache"):
+    """2-D compute-only control (VERDICT r3 #5): the identical per-cell
+    step chain with H2D/D2H skipped bounds the 2-D path's non-transfer
+    overhead the way round 3 bounded the 1-D path at 0.574 s/hop.  Also
+    times the layout cache: cold build+save vs warm load."""
+    from sgl_tpu.datasets.synthetic import random_power_law_graph
+    from sgl_tpu.graph import symmetric_normalized_weights_host
+    from sgl_tpu.kernels import prepare_out_of_core_2d, spmm_out_of_core_2d
+
+    t0 = time.time()
+    g = random_power_law_graph(n, avg_deg, d, seed=0, pad_multiple=1 << 20)
+    adj = symmetric_normalized_weights_host(g)
+    t_graph = time.time() - t0
+    t0 = time.time()
+    oc = prepare_out_of_core_2d(
+        adj, max_edges_per_part=part_edges, src_blocks=src_blocks,
+        cache_dir=cache_dir,
+    )
+    t_cold = time.time() - t0
+    t0 = time.time()
+    oc = prepare_out_of_core_2d(
+        adj, max_edges_per_part=part_edges, src_blocks=src_blocks,
+        cache_dir=cache_dir,
+    )
+    t_warm = time.time() - t0
+    x = np.asarray(g.x)
+    nnz = int(np.sum(np.asarray(adj.w) != 0))
+    print(
+        f"graph build {t_graph:.1f}s; layout cold(+save) {t_cold:.1f}s, "
+        f"WARM LOAD {t_warm:.1f}s; {oc.num_parts} parts x {oc.num_blocks} "
+        f"blocks, {nnz} edges"
+    )
+    times = []
+    for k in range(1, hops + 1):
+        t_h = time.time()
+        spmm_out_of_core_2d(oc, x, null_transfer=True)
+        times.append(time.time() - t_h)
+        print(f"null hop {k}: {times[-1]:.2f}s")
+    steady = min(times[1:]) if len(times) > 1 else times[0]
+    print(
+        f"2-D COMPUTE-ONLY steady: {steady:.2f} s/hop -> "
+        f"{nnz / steady / 1e9:.4f} G edges/s (no H2D/D2H; edge arrays "
+        f"device-cached after hop 1)"
+    )
+
+
 if __name__ == "__main__":
-    if "--2d" in sys.argv:
+    if "--2d-null" in sys.argv:
+        main_2d_null()
+    elif "--2d" in sys.argv:
         main_2d()
     elif "--small" in sys.argv:
         main(n=500_000, avg_deg=20, d=100, part_edges=6 << 20)

@@ -505,59 +505,77 @@ def prepare_out_of_core_2d(
 
 
 def save_out_of_core_2d(oc: OutOfCoreAdj2D, path) -> None:
-    """Persist a 2-D layout to ``path`` (.npz, uncompressed for load
-    speed).  The products-scale build costs ~100 s (cell-key argsort);
-    a warm load is seconds — see ``prepare_out_of_core_2d(cache_dir=)``
-    for the transparent content-keyed cache."""
-    arrays = {
-        "meta": np.asarray(
-            [oc.num_nodes, oc.n_rows, oc.block_rows, oc.num_blocks,
-             len(oc.parts)], np.int64
-        ),
-        "row_offsets": np.asarray(oc.row_offsets, np.int64),
-        "valid_rows": np.asarray(oc.valid_rows, np.int64),
-        "has_diag": np.asarray([oc.diag is not None], np.uint8),
-    }
+    """Persist a 2-D layout as a DIRECTORY of .npy files (one per cell
+    array).  The per-array format lets :func:`load_out_of_core_2d` open
+    everything ``mmap_mode="r"`` — the warm "load" is metadata-only
+    (measured: a monolithic .npz read cost 8.1 s at products scale; the
+    mmap open is sub-second, with pages faulted in as cells upload)."""
+    tmp = str(path) + ".tmp"
+    os.makedirs(tmp, exist_ok=True)
+
+    def put(name, arr):
+        np.save(os.path.join(tmp, name + ".npy"), arr)
+
+    put("meta", np.asarray(
+        [oc.num_nodes, oc.n_rows, oc.block_rows, oc.num_blocks,
+         len(oc.parts)], np.int64
+    ))
+    put("row_offsets", np.asarray(oc.row_offsets, np.int64))
+    put("valid_rows", np.asarray(oc.valid_rows, np.int64))
+    ne = np.asarray(
+        [[s.n_edges for s in row] for row in oc.parts], np.int64
+    )
+    put("n_edges", ne)
     if oc.diag is not None:
-        arrays["diag"] = oc.diag
+        put("diag", oc.diag)
     for p, row in enumerate(oc.parts):
         for b, s in enumerate(row):
             k = f"c{p}_{b}_"
-            arrays[k + "src"] = s.src
-            arrays[k + "dst"] = s.dst
-            arrays[k + "w"] = s.w
-            arrays[k + "ct"] = s.chunk_tile
-            arrays[k + "mask"] = s.tile_mask
-            arrays[k + "ne"] = np.asarray([s.n_edges], np.int64)
-    tmp = str(path) + ".tmp"
-    with open(tmp, "wb") as f:
-        np.savez(f, **arrays)
-    os.replace(tmp, path)  # atomic: a crashed save never half-caches
+            put(k + "src", s.src)
+            put(k + "dst", s.dst)
+            put(k + "w", s.w)
+            put(k + "ct", s.chunk_tile)
+            put(k + "mask", s.tile_mask)
+    if os.path.isdir(str(path)):
+        import shutil
+
+        shutil.rmtree(str(path))
+    os.replace(tmp, str(path))  # atomic: a crashed save never half-caches
 
 
 def load_out_of_core_2d(path) -> OutOfCoreAdj2D:
-    """Load a layout saved by :func:`save_out_of_core_2d`."""
-    z = np.load(path)
-    num_nodes, n_rows, block_rows, num_blocks, n_parts = z["meta"].tolist()
+    """Load a layout saved by :func:`save_out_of_core_2d` (arrays are
+    read-only memmaps; pages fault in on first use)."""
+    def get(name, mmap=True):
+        return np.load(
+            os.path.join(str(path), name + ".npy"),
+            mmap_mode="r" if mmap else None,
+        )
+
+    num_nodes, n_rows, block_rows, num_blocks, n_parts = get(
+        "meta", mmap=False
+    ).tolist()
+    ne = get("n_edges", mmap=False)
     parts = []
     for p in range(n_parts):
         row = []
         for b in range(num_blocks):
             k = f"c{p}_{b}_"
             row.append(OocSubPart(
-                z[k + "src"], z[k + "dst"], z[k + "w"], z[k + "ct"],
-                z[k + "mask"], int(z[k + "ne"][0]),
+                get(k + "src"), get(k + "dst"), get(k + "w"),
+                get(k + "ct"), get(k + "mask"), int(ne[p, b]),
             ))
         parts.append(row)
+    has_diag = os.path.exists(os.path.join(str(path), "diag.npy"))
     return OutOfCoreAdj2D(
         num_nodes=int(num_nodes),
         n_rows=int(n_rows),
         block_rows=int(block_rows),
         num_blocks=int(num_blocks),
-        row_offsets=z["row_offsets"].tolist(),
-        valid_rows=z["valid_rows"].tolist(),
+        row_offsets=get("row_offsets", mmap=False).tolist(),
+        valid_rows=get("valid_rows", mmap=False).tolist(),
         parts=parts,
-        diag=z["diag"] if bool(z["has_diag"][0]) else None,
+        diag=get("diag") if has_diag else None,
     )
 
 
@@ -569,12 +587,12 @@ def _layout_cache_path(cache_dir, src, dst, w, n, max_edges_per_part,
 
     h = hashlib.sha1()
     h.update(
-        f"v1|{n}|{max_edges_per_part}|{src_blocks}|{split_diag}|{chunk}|"
+        f"v2|{n}|{max_edges_per_part}|{src_blocks}|{split_diag}|{chunk}|"
         f"{src.shape[0]}".encode()
     )
     for a in (src, dst, w):
         h.update(np.ascontiguousarray(a).tobytes())
-    return os.path.join(cache_dir, f"ooc2d_{h.hexdigest()}.npz")
+    return os.path.join(cache_dir, f"ooc2d_{h.hexdigest()}")
 
 
 @functools.partial(
