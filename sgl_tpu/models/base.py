@@ -122,6 +122,12 @@ class SGAPModel:
         used by NAS, where the reference recomputes the full propagation
         per trial.  Sets ``self.preprocess_time_estimate`` (amortized
         seconds, for the NAS time objective)."""
+        if hasattr(self.processed_feature, "rows"):
+            # externally precomputed cache (HostHops from an out-of-core
+            # run / ShardedHops from the distributed runtime): it cannot
+            # be re-derived here, and re-preprocessing would defeat the
+            # point — keep it
+            return
         if x is None:
             x = graph.x
         if dtype is not None:
@@ -159,6 +165,23 @@ class SGAPModel:
         else:
             self.pre_msg_learnable = False
             self.processed_feature = jnp.asarray(x, dtype or jnp.float32)
+
+    def attach_host_hops(self, host_hops) -> None:
+        """Use a host-resident hop store (``utils.hop_store.HostHops``,
+        e.g. memmaps written by an out-of-core precompute) as this model's
+        feature cache — training then touches O(batch) rows per step and
+        the stack never enters device memory whole.  Non-learnable message
+        ops aggregate per gathered batch on device."""
+        if host_hops.num_hops != self.prop_steps + 1:
+            raise ValueError(
+                f"store has {host_hops.num_hops} hops, model expects "
+                f"{self.prop_steps + 1}"
+            )
+        if not self.pre_msg_learnable and host_hops.agg is None:
+            host_hops.agg = lambda stack: eager_aggregate(
+                self.pre_msg_op, stack
+            )
+        self.processed_feature = host_hops
 
     # -- stage 2: training network -----------------------------------------
     @property

@@ -1,5 +1,6 @@
 from sgl_tpu.utils.compile_cache import enable_compilation_cache
 from sgl_tpu.utils.config import TrainConfig, MeshConfig
+from sgl_tpu.utils.hop_store import HostHops, MemmapHopSink
 from sgl_tpu.utils.profiling import StageTimer, slope_time, sync, xla_trace
 from sgl_tpu.utils.checkpoint import (
     HopCheckpointer,
