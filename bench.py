@@ -143,14 +143,14 @@ def bench_spmm(n=200_000, avg_deg=25, d=128, iters=3):
 
     # bf16 precompute — the documented production default (accuracy-neutral
     # across the promotion study, docs/PERFORMANCE.md): single-pass kernel,
-    # half the hop-cache memory, bf16 hub strip (half the strip stream)
+    # half the hop-cache memory.  (bf16 hub strip falsified for this
+    # scan path — see docs/PERFORMANCE.md round 4.)
     try:
         xb = x.astype(jnp.bfloat16)
-        chunked16 = prepare_chunked(adj, hub_dtype=jnp.bfloat16)
         f1 = jax.jit(lambda a, xx: k_hop_propagate(a, xx, k1, backend="pallas")[-1])
         f2 = jax.jit(lambda a, xx: k_hop_propagate(a, xx, k2, backend="pallas")[-1])
-        t1 = timed(lambda: f1(chunked16, xb), iters)
-        t2 = timed(lambda: f2(chunked16, xb), iters)
+        t1 = timed(lambda: f1(chunked, xb), iters)
+        t2 = timed(lambda: f2(chunked, xb), iters)
         per_hop = (t2 - t1) / (k2 - k1)
         results["pallas_bf16"] = nnz / per_hop
         log(f"spmm[pallas,bf16]: {per_hop*1e3:.2f} ms/hop -> "

@@ -227,9 +227,10 @@ def split_extras(
     """
     hub_np = np.dtype(np.float32)
     if hub_dtype is not None and jnp.dtype(hub_dtype) == jnp.bfloat16:
-        # bf16 strip: halves the (N, k) stream, measured -4.4%/hop on the
-        # bench graph (dev/exp_spmm --hub16).  The degree cutoff stays
-        # N/700: the same sweep shows extending it does not pay
+        # bf16 strip: halves the (N, k) stream.  Opt-in only — faster in
+        # keep-last loops, slower in the production hop-stacking scan
+        # (see prepare_chunked docstring / docs/PERFORMANCE.md round 4).
+        # The degree cutoff stays N/700 either way (swept)
         import ml_dtypes
 
         hub_np = np.dtype(ml_dtypes.bfloat16)
@@ -275,11 +276,13 @@ def prepare_chunked(
     across hops/epochs.  ``split_diag``/``hub_k`` move self-loops and
     high-out-degree sources out of the gather path (see :class:`ChunkedAdj`).
 
-    ``hub_dtype=jnp.bfloat16`` stores the dense hub strip in bf16 (for
-    bf16-feature pipelines): the strip stream halves — measured −4.4%/hop
-    on the bench graph (10.75 → 10.28 ms, ``dev/exp_spmm --hub16``) with
-    numerics unchanged (the MXU pass is bf16 either way under DEFAULT
-    precision; same rel err vs the f32 segment reference).
+    ``hub_dtype=jnp.bfloat16`` stores the dense hub strip in bf16 (half
+    the strip stream; numerics unchanged — the MXU pass is bf16 either
+    way under DEFAULT precision).  Measured harness-dependent: −0.47
+    ms/hop in a keep-last ``fori_loop`` chain, but **+0.17 ms/hop in the
+    production hop-stacking scan** (XLA hoists the f32 strip's one-time
+    conversion out of the scan), so it is NOT the default — opt in only
+    for keep-last pipelines (docs/PERFORMANCE.md round 4).
     """
     src = np.asarray(adj.src)
     dst = np.asarray(adj.dst)

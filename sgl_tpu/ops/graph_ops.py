@@ -128,8 +128,14 @@ class GraphOp:
                 "Dimension mismatch detected for the adjacency and the feature matrix!"
             )
         xc = _as_compute_dtype(x)
-        hub_dtype = jnp.bfloat16 if xc.dtype == jnp.bfloat16 else None
-        adj = self._adj_for(graph, backend, hub_dtype=hub_dtype)
+        # NOTE: a bf16 hub strip (hub_dtype=bf16) measured FASTER in a
+        # keep-last fori_loop harness (-0.47 ms/hop) but SLOWER in this
+        # production hop-stacking scan (+0.17 ms/hop, interleaved A/B) —
+        # XLA evidently hoists the f32 strip's one-time bf16 conversion
+        # out of the scan, making f32 storage free here.  So the strip
+        # stays f32 by default; hub_dtype remains available for
+        # keep-last-style pipelines.
+        adj = self._adj_for(graph, backend)
         return k_hop_propagate(adj, xc, self.prop_steps, backend=backend)
 
     def propagate_out_of_core(
