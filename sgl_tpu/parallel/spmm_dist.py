@@ -168,12 +168,18 @@ def partition_adj(adj: SparseAdj, num_partitions: int, bucket_multiple: int = 8)
 
 
 def pad_features(x, num_partitions: int, block: Optional[int] = None) -> jnp.ndarray:
-    """Pad feature rows so the node axis divides evenly across devices."""
+    """Pad feature rows so the node axis divides evenly across devices.
+
+    bf16 inputs stay bf16 — the ring rotates the feature block every hop,
+    so the dtype sets the per-hop ICI volume (bf16 halves it) and selects
+    the kernel's single-pass variant; everything else promotes to f32."""
     n, _ = x.shape
     if block is None:
         block = _round_up(n, num_partitions) // num_partitions
     pad = block * num_partitions - n
-    x = jnp.asarray(x, jnp.float32)
+    x = jnp.asarray(x)
+    if x.dtype != jnp.bfloat16:
+        x = x.astype(jnp.float32)
     return jnp.pad(x, ((0, pad), (0, 0))) if pad else x
 
 
@@ -516,15 +522,17 @@ def _ring_spmm_local(src_b, dst_b, w_b, x_local, *, axis: str, parts: int, block
         src = jnp.take(src_b, b, axis=0)
         dst = jnp.take(dst_b, b, axis=0)
         w = jnp.take(w_b, b, axis=0)
-        msgs = jnp.take(buf, src, axis=0) * w[:, None]
+        msgs = jnp.take(buf, src, axis=0).astype(jnp.float32) * w[:, None]
         y = y + jax.ops.segment_sum(msgs, dst, num_segments=block)
         return (nxt, y), None
 
-    y0 = jnp.zeros_like(x_local)
+    # f32 accumulator even for a bf16 ring buffer (P partial sums);
+    # zeros_like keeps the shard_map varying-axes annotation
+    y0 = jnp.zeros_like(x_local, dtype=jnp.float32)
     (_, y), _ = jax.lax.scan(
         step, (x_local, y0), jnp.arange(parts, dtype=jnp.int32)
     )
-    return y
+    return y.astype(x_local.dtype)
 
 
 def _ring_spmm_local_chunked(
@@ -562,12 +570,19 @@ def _ring_spmm_local_chunked(
     d = x_local.shape[1]
     d_pad = _round_up(d, 128)
 
+    single = x_local.dtype == jnp.bfloat16  # bf16 ring: half the ICI
+    # volume per rotation + the kernel's single-pass variant (same
+    # dispatch as the single-chip _spmm_pallas_impl)
+
     def reduce_bucket(buf, src, dst, w, ct):
         msgs = jnp.take(buf, src, axis=0).astype(jnp.float32) * w[:, None]
         if d_pad != d:
             msgs = jnp.pad(msgs, ((0, 0), (0, d_pad - d)))
         hi = msgs.astype(jnp.bfloat16)
-        lo = (msgs - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+        lo = (
+            None if single
+            else (msgs - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+        )
         out = _segment_reduce_mxu(
             hi, lo, dst, ct, num_nodes=block, interpret=interpret,
             tile_r=tile_r,
@@ -595,18 +610,22 @@ def _ring_spmm_local_chunked(
         y = y + out
         return (nxt, y), None
 
-    y0 = jnp.zeros_like(x_local)
+    # accumulate in f32 regardless of the ring dtype (P partial sums);
+    # zeros_like keeps the shard_map varying-axes annotation
+    y0 = jnp.zeros_like(x_local, dtype=jnp.float32)
     (_, y), _ = jax.lax.scan(
         step, (x_local, y0), jnp.arange(parts, dtype=jnp.int32)
     )
     if has_diag:
-        y = y + diag_l[:, None] * x_local
+        y = y + diag_l[:, None] * x_local.astype(jnp.float32)
     if has_hub:
         # hub rows bypass the ring: one psum of (k, D) per hop
         mine = (hub_ids // block) == p
         local_pos = jnp.clip(hub_ids - p * block, 0, block - 1)
         xh = jnp.where(
-            mine[:, None], jnp.take(x_local, local_pos, axis=0), 0.0
+            mine[:, None],
+            jnp.take(x_local, local_pos, axis=0).astype(jnp.float32),
+            0.0,
         )
         xh = jax.lax.psum(xh, axis)
         # HIGH: same measured error as HIGHEST here (the bucket path's
@@ -618,13 +637,16 @@ def _ring_spmm_local_chunked(
         # dst super-hub rows: each device multiplies its own column block
         # of hub_in_m against the features it owns; one (k_in, D) psum
         yh = jax.lax.psum(
-            jax.lax.dot(hub_in_m_l, x_local, precision=jax.lax.Precision.HIGH),
+            jax.lax.dot(
+                hub_in_m_l, x_local.astype(jnp.float32),
+                precision=jax.lax.Precision.HIGH,
+            ),
             axis,
         )
         mine_in = (hub_in_ids // block) == p
         pos_in = jnp.clip(hub_in_ids - p * block, 0, block - 1)
         y = y.at[pos_in].add(jnp.where(mine_in[:, None], yh, 0.0))
-    return y
+    return y.astype(x_local.dtype)
 
 
 def make_dist_spmm(mesh: Mesh, axis: str = "graph", interpret: bool = False):

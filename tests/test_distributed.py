@@ -363,3 +363,28 @@ def test_node_classification_dist_sharded_matches_replicated():
     acc_r = run(False)
     assert acc_s > 0.6, acc_s
     assert abs(acc_s - acc_r) < 0.15, (acc_s, acc_r)
+
+
+def test_ring_spmm_bf16_features():
+    """bf16 features through the ring: the rotating buffer stays bf16
+    (half the per-hop ICI volume), the kernel takes its single-pass
+    variant, accumulation stays f32 — result within bf16 tolerance of
+    the f32 single-device path, for both layouts."""
+    from sgl_tpu.parallel import partition_adj_chunked
+
+    g = random_graph(500, 10, seed=8)
+    adj = symmetric_normalized_weights(g)
+    mesh = make_mesh((1, 8))
+    x32 = jnp.asarray(g.x, jnp.float32)
+    want = k_hop_propagate(adj, x32, 2)
+    for dadj in (partition_adj(adj, 8), partition_adj_chunked(adj, 8)):
+        sh = k_hop_propagate_dist(
+            mesh, dadj, x32.astype(jnp.bfloat16), 2, interpret=True,
+            keep_sharded=True,
+        )
+        assert sh.data.dtype == jnp.bfloat16  # sharded cache stays half-size
+        got = np.asarray(sh.gather_full(), np.float32)
+        ref = np.asarray(want)
+        denom = np.abs(ref).max() + 1e-30
+        assert np.isfinite(got).all()
+        assert np.abs(got - ref).max() / denom < 3e-2
