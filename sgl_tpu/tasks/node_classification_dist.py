@@ -143,12 +143,36 @@ class NodeClassificationDist(BaseTask):
         def logits_of(params, feats):
             return net.apply(params, feats, train=False)
 
-        def eval_acc(params, idx):
-            feats = model.batch_input(jnp.asarray(idx))
-            lg = logits_of(params, feats)
-            return float(
-                jnp.mean(jnp.argmax(lg, axis=1) == labels[jnp.asarray(idx)])
-            )
+        def _head(rows_l, params):
+            f = rows_l
+            if f.ndim == 3 and model.node_major:
+                f = jnp.moveaxis(f, 0, 1)
+            return net.apply(params, f, train=False)
+
+        if self._sharded_hops:
+            # evaluate ALL nodes per-shard (the hop rows never leave their
+            # devices; only the small (N, C) logits assemble), then read
+            # off val/test predictions — O(N·C) instead of a per-eval
+            # (K+1, B, D) psum gather
+            pf_eval = self._model.processed_feature
+
+            def eval_acc(params, idx):
+                logits_pad = pf_eval.map_rows(_head, params)
+                preds = jnp.argmax(logits_pad, axis=1)
+                idx = jnp.asarray(idx)
+                lookup = idx if pf_eval.new_of is None else jnp.take(
+                    pf_eval.new_of, idx
+                )
+                return float(
+                    jnp.mean(jnp.take(preds, lookup) == labels[idx])
+                )
+        else:
+            def eval_acc(params, idx):
+                feats = model.batch_input(jnp.asarray(idx))
+                lg = logits_of(params, feats)
+                return float(
+                    jnp.mean(jnp.argmax(lg, axis=1) == labels[jnp.asarray(idx)])
+                )
 
         n_data = mesh.shape["data"]
 
@@ -194,13 +218,7 @@ class NodeClassificationDist(BaseTask):
                 # net runs on each device's owned rows (map_rows keeps the
                 # node axis sharded); only the small (N, C) logits are
                 # un-permuted back to dataset order
-                def head(rows_l, params):
-                    f = rows_l
-                    if f.ndim == 3 and model.node_major:
-                        f = jnp.moveaxis(f, 0, 1)
-                    return net.apply(params, f, train=False)
-
-                logits_pad = pf.map_rows(head, state.params)
+                logits_pad = pf.map_rows(_head, state.params)
                 outputs = logits_pad[: ds.num_node]
                 if pf.new_of is not None:
                     outputs = jnp.take(outputs, pf.new_of, axis=0)

@@ -65,11 +65,17 @@ def _ref_acc(ds, make_model, lr, seeds, epochs=100):
     rds = _RefDS(ds)
     accs = []
     for seed in seeds:
+        # seed BEFORE building the model: the reference task only seeds in
+        # its constructor, i.e. after init weights are drawn — without
+        # this, ref accuracy depends on whatever torch RNG state earlier
+        # tests left behind (measured order-dependent band flakiness)
+        torch.manual_seed(seed)
+        model = make_model()
         with contextlib.redirect_stdout(io.StringIO()):  # per-epoch prints
             accs.append(
                 RefNC(
                     rds,
-                    make_model(),
+                    model,
                     lr=lr,
                     weight_decay=5e-5,
                     epochs=epochs,
