@@ -639,3 +639,28 @@ def test_out_of_core_precompute_to_training(tmp_path):
     assert abs(acc_sgc_ooc - acc_sgc_mem) < 0.1, (acc_sgc_ooc, acc_sgc_mem)
     acc_g = run_ooc(GAMLP, hidden_dim=16, num_layers=2)
     assert acc_g > 0.6, acc_g
+
+
+def test_prepare_chunked_hub_dtype_bf16():
+    """Opt-in bf16 hub strip (keep-last pipelines): numerics within bf16
+    tolerance, VJP finite, strip actually stored bf16."""
+    import jax
+    import jax.numpy as jnp
+
+    from sgl_tpu.datasets.synthetic import random_power_law_graph
+    from sgl_tpu.kernels import prepare_chunked
+    from sgl_tpu.kernels.pallas_spmm import spmm_pallas
+    from sgl_tpu.kernels.sparse import spmm_segment
+
+    g = random_power_law_graph(2_000, 8, 8, seed=3, alpha=1.3,
+                               pad_multiple=1024)
+    adj = symmetric_normalized_weights(g)
+    ch = prepare_chunked(adj, hub_dtype=jnp.bfloat16)
+    assert ch.hub_ids is not None and ch.hub_m.dtype == jnp.bfloat16
+    x16 = jnp.asarray(g.x, jnp.bfloat16)
+    out = spmm_pallas(ch, x16, True).astype(jnp.float32)
+    ref = np.asarray(spmm_segment(adj, jnp.asarray(g.x, jnp.float32)))
+    err = np.abs(np.asarray(out) - ref).max() / (np.abs(ref).max() + 1e-30)
+    assert err < 3e-2, err
+    gx = jax.grad(lambda v: jnp.sum(spmm_pallas(ch, v, True) ** 2))(x16)
+    assert bool(jnp.all(jnp.isfinite(gx.astype(jnp.float32))))
