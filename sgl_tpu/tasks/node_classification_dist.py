@@ -43,6 +43,7 @@ class NodeClassificationDist(BaseTask):
         train_batch_size: Optional[int] = None,
         verbose: bool = True,
         sharded_hops: bool = True,
+        precompute_dtype=None,  # jnp.bfloat16: half ICI ring volume + cache
         config=None,  # TrainConfig: defaults for the Nones above
     ):
         super().__init__()
@@ -65,6 +66,7 @@ class NodeClassificationDist(BaseTask):
         # (per-device memory O(N/P·D·K)); False restores the replicated
         # (K+1, N, D) cache for debugging/tiny graphs
         self._sharded_hops = sharded_hops
+        self._precompute_dtype = precompute_dtype
         # deferred import: sgl_tpu.parallel imports tasks.utils, which would
         # cycle through the tasks package __init__
         from sgl_tpu.parallel import make_mesh
@@ -96,8 +98,13 @@ class NodeClassificationDist(BaseTask):
         t0 = time.time()
         adj = model.pre_graph_op.construct_adj(ds.graph)
         dadj = partition(adj, n_graph)
+        x_in = jnp.asarray(ds.x)
+        if self._precompute_dtype is not None:
+            # bf16 rides the ring as-is (pad_features preserves it):
+            # half the per-hop ICI rotation volume, half the hop cache
+            x_in = x_in.astype(self._precompute_dtype)
         hops = k_hop_propagate_dist(
-            mesh, dadj, ds.x, model.pre_graph_op.prop_steps, axis="graph",
+            mesh, dadj, x_in, model.pre_graph_op.prop_steps, axis="graph",
             keep_sharded=self._sharded_hops,
         )
         if self._sharded_hops:

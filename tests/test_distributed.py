@@ -388,3 +388,21 @@ def test_ring_spmm_bf16_features():
         denom = np.abs(ref).max() + 1e-30
         assert np.isfinite(got).all()
         assert np.abs(got - ref).max() / denom < 3e-2
+
+
+def test_node_classification_dist_bf16_precompute():
+    """precompute_dtype=bf16 through the dist task: bf16 rides the ring
+    (half ICI volume), the sharded cache is half-size, accuracy holds."""
+    from sgl_tpu.datasets.synthetic import PlantedPartition
+    from sgl_tpu.models.homo import GAMLP
+    from sgl_tpu.tasks.node_classification_dist import NodeClassificationDist
+
+    ds = PlantedPartition(num_nodes=256, feat_dim=8, p_in=0.08, seed=9)
+    model = GAMLP(2, ds.num_features, ds.num_classes, hidden_dim=16,
+                  num_layers=2)
+    task = NodeClassificationDist(
+        ds, model, lr=0.05, weight_decay=5e-5, epochs=6, mesh_shape=(2, 4),
+        verbose=False, precompute_dtype=jnp.bfloat16,
+    )
+    assert model.processed_feature.data.dtype == jnp.bfloat16
+    assert task.test_acc > 0.6, task.test_acc
