@@ -1,0 +1,141 @@
+"""Measure the ring layout's PER-DEVICE WORK on the real chip.
+
+The round-4 layout change (multi-tile output blocks + measured cost
+model) was justified by a fitted per-slot model; this experiment measures
+the real thing: the full per-bucket pipeline (block gather -> weighted
+hi/lo messages -> one-hot MXU reduce) chained over ALL P^2 buckets of an
+actual ``partition_adj_chunked`` layout, old (tile_rows=128, the round-3
+shape) vs new (model-picked).  The ppermute is absent (single chip), so
+this times exactly the quantity the cost model predicts — the compute
+each device does per hop, which on a pod either hides the ring transfer
+or is the bottleneck.
+
+Run on the TPU (default env, nothing else running):
+
+    python dev/exp_ringwork.py
+"""
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def main(n=100_000, avg_deg=25, d=128, plist=(8, 16)):
+    import warnings
+
+    import jax
+    import jax.numpy as jnp
+
+    from sgl_tpu.datasets.synthetic import random_power_law_graph
+    from sgl_tpu.graph import symmetric_normalized_weights
+    from sgl_tpu.kernels.pallas_spmm import _segment_reduce_mxu
+    from sgl_tpu.parallel.spmm_dist import (
+        partition_adj_chunked,
+        ring_padding_stats,
+    )
+
+    g = random_power_law_graph(n, avg_deg, d, seed=0)
+    adj = symmetric_normalized_weights(g)
+    x = jnp.asarray(g.x)
+
+    def bucket_chain(dadj, k):
+        """Jit: k repeats of (all P^2 buckets' gather+reduce), loop-carried."""
+        p = dadj.num_partitions
+        e_b = dadj.src.shape[-1]
+        c_max = dadj.chunk_tile.shape[-1]
+        src = dadj.src.reshape(p * p, e_b)
+        dst = dadj.dst.reshape(p * p, e_b)
+        w = dadj.w.reshape(p * p, e_b)
+        ct = dadj.chunk_tile.reshape(p * p, c_max)
+        block = dadj.block
+        tile_r = dadj.tile_rows
+        n_pad = p * block
+        owner_block = (
+            jnp.arange(p * p, dtype=jnp.int32) % p
+        )  # source block of bucket i
+
+        def run(xx):
+            xp = jnp.pad(xx, ((0, n_pad - xx.shape[0]), (0, 0))).reshape(
+                p, block, d
+            )
+
+            def hop(carry, _):
+                def bkt(acc, i):
+                    xb = jnp.take(xp, owner_block[i], axis=0) + carry * 0
+                    msgs = (
+                        jnp.take(xb, src[i], axis=0).astype(jnp.float32)
+                        * w[i][:, None]
+                    )
+                    hi = msgs.astype(jnp.bfloat16)
+                    lo = (msgs - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+                    out = _segment_reduce_mxu(
+                        hi, lo, dst[i], ct[i], num_nodes=block,
+                        tile_r=tile_r,
+                    )
+                    return acc + out[0, 0], None
+
+                acc, _ = jax.lax.scan(
+                    bkt, jnp.float32(0), jnp.arange(p * p, dtype=jnp.int32)
+                )
+                return acc * 1e-20, None
+
+            acc, _ = jax.lax.scan(hop, jnp.float32(0), None, length=k)
+            return acc
+
+        return jax.jit(run)
+
+    def timed(fn, iters=2):
+        float(fn())
+        ts = []
+        for _ in range(iters):
+            t0 = time.perf_counter()
+            float(fn())
+            ts.append(time.perf_counter() - t0)
+        return min(ts)
+
+    for p in plist:
+        with warnings.catch_warnings():
+            warnings.simplefilter("ignore")
+            d_old = partition_adj_chunked(adj, p, tile_rows=128)
+            d_new = partition_adj_chunked(adj, p)
+        layouts = {
+            f"old(128, e_b={d_old.w.shape[-1]})": d_old,
+            f"new(R={d_new.tile_rows}, e_b={d_new.w.shape[-1]})": d_new,
+        }
+        stats = {
+            name: ring_padding_stats(dd) for name, dd in layouts.items()
+        }
+        best = {name: np.inf for name in layouts}
+        k1, k2 = 2, 6
+        fns = {
+            name: {k: bucket_chain(dd, k) for k in (k1, k2)}
+            for name, dd in layouts.items()
+        }
+        for rnd in range(3):
+            for name in layouts:
+                t1 = timed(lambda name=name: fns[name][k1](x))
+                t2 = timed(lambda name=name: fns[name][k2](x))
+                best[name] = min(best[name], (t2 - t1) / (k2 - k1))
+            log(f"-- P={p} round {rnd}: " + "  ".join(
+                f"{nm}={v*1e3:.1f}ms" for nm, v in best.items()))
+        vals = list(best.values())
+        for name, v in best.items():
+            s = stats[name]
+            log(
+                f"P={p} {name}: {v*1e3:.2f} ms per hop of bucket work "
+                f"({s['ratio']:.2f}x padding, {s['real_edges']} real edges "
+                f"-> {s['real_edges']/v/1e9:.3f} G edges/s-equivalent)"
+            )
+        log(f"P={p} measured speedup new/old: {vals[0]/vals[1]:.2f}x")
+
+
+if __name__ == "__main__":
+    main()

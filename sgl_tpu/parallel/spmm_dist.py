@@ -406,6 +406,15 @@ def partition_adj_chunked(
             # step + dst-block DMA overhead — why minimum-padding tiny
             # chunks lose in real time despite fewer slots)
             cost = s * (2.9 + 0.33 * (r / 128) + 270.0 / c)
+            # wide blocks must EARN a 45% modeled margin: the end-to-end
+            # bucket-chain A/B (dev/exp_ringwork.py) shows the fit's
+            # error bars — at P=8 a modeled 1.39x win MEASURED 0.94x
+            # (loss) while at P=16 a modeled 1.50x measured 1.22x (win).
+            # The margin keeps small-P layouts on the safe 128-row block
+            # and still lets coverage-floor-dominated large-P layouts
+            # (modeled >=1.8x) take wide blocks
+            if r != 128:
+                cost *= 1.45
             if best is None or cost < best[0]:
                 best = (cost, r, c)
     _, tile_r, chunk = best
