@@ -81,10 +81,12 @@ def _report_padding(dadj, kind: str) -> None:
     if stats["ratio"] > _PADDING_WARN_RATIO:
         # Per-owner bucket sizes cannot vary under SPMD (every device's
         # shard must be shape-equal).  The chunked layout already applies
-        # three mitigations (node shuffle, slot-minimizing chunk size, dst
-        # super-hub strip); a ratio still above the threshold means the
-        # residual per-tile coverage floor (P²·tiles·chunk slots) dominates
-        # — fewer partitions or a larger hub budget are the levers left.
+        # four mitigations (node shuffle, model-driven (tile_rows, chunk)
+        # selection incl. multi-tile output blocks, dst super-hub strip);
+        # a ratio still above the threshold usually reflects a time-
+        # optimal pick that tolerates padding (the model prices padded
+        # slots) — fewer partitions or a larger hub budget are the levers
+        # left if the throughput itself disappoints.
         warnings.warn(
             f"{kind} ring buckets are {stats['ratio']:.1f}x padded "
             f"({stats['padded_slots']} slots for {stats['real_edges']} edges); "
