@@ -133,10 +133,12 @@ class ChunkedAdj:
             y = y + self.diag[:, None].astype(y.dtype) * x.astype(y.dtype)
         if self.hub_ids is not None:
             if self.hub_m.dtype == jnp.bfloat16:
-                # bf16 strip (prepare_chunked(hub_dtype=bf16), the bf16-x
-                # production default): halves the (N, k) HBM stream — the
-                # measured extras floor — and the MXU pass is bf16 either
-                # way under DEFAULT precision, so numerics are unchanged
+                # bf16 strip (prepare_chunked(hub_dtype=bf16), OPT-IN —
+                # faster standalone but measured slower inside the
+                # production hop-stacking scan, so NOT the default):
+                # halves the (N, k) HBM stream, and the MXU pass is bf16
+                # either way under DEFAULT precision, so numerics are
+                # unchanged
                 xh = jnp.take(x, self.hub_ids, axis=0).astype(jnp.bfloat16)
                 y = y + jax.lax.dot(
                     self.hub_m, xh, preferred_element_type=jnp.float32

@@ -329,6 +329,11 @@ def prepare_out_of_core_2d(
                 "2-D out-of-core layout loaded from cache in %.1fs (%s)",
                 time.time() - t0, cache_path,
             )
+            # the HBM guard must run on warm hits too: the cache may have
+            # been built with strict=False (warn-only), and a later
+            # strict=True caller still deserves the ValueError at the
+            # cause (shape access on the mmaps is metadata-only)
+            _guard_cell_budget(oc.parts, strict)
             return oc
 
     diag = None
@@ -452,27 +457,7 @@ def prepare_out_of_core_2d(
             )
         parts.append(row)
 
-    e_b_max = max(
-        (s.src.shape[0] for row in parts for s in row if s.n_edges), default=0
-    )
-    if e_b_max > 12 << 20:
-        # msgs (f32) + hi/lo (bf16) ≈ 8 B per slot-lane; at d_pad=128 a
-        # 16M-slot cell alone wants ~16 GB of message buffers — the
-        # whole HBM.  (Observed: src_blocks=2 at the products config
-        # dies with RESOURCE_EXHAUSTED.)  A single 128-row hub tile
-        # holding more edges than max_edges_per_part cannot be split
-        # (parts are tile-bounded), so under ``strict`` this raises here,
-        # at the cause, instead of a RESOURCE_EXHAUSTED at run time.
-        msg = (
-            f"2-D out-of-core: densest cell has {e_b_max} edge slots; its "
-            "message buffers may exceed HBM at d_pad=128 — raise "
-            "src_blocks or lower max_edges_per_part"
-        )
-        if strict:
-            raise ValueError(msg)
-        import warnings as _w
-
-        _w.warn(msg, stacklevel=2)
+    _guard_cell_budget(parts, strict)
     n_classes = len({s.src.shape[0] for row in parts for s in row if s.n_edges})
     logger.info(
         "2-D out-of-core layout: %d parts x %d blocks (%d non-empty cells, "
@@ -502,6 +487,34 @@ def prepare_out_of_core_2d(
             time.time() - t0, cache_path,
         )
     return oc
+
+
+_CELL_SLOT_BUDGET = 12 << 20  # module-level so tests can exercise the guard
+
+
+def _guard_cell_budget(parts, strict: bool) -> None:
+    """HBM bound on the densest 2-D cell (cold builds AND warm cache
+    loads).  msgs (f32) + hi/lo (bf16) ≈ 8 B per slot-lane; at d_pad=128
+    a 16M-slot cell alone wants ~16 GB of message buffers — the whole
+    HBM.  (Observed: src_blocks=2 at the products config dies with
+    RESOURCE_EXHAUSTED.)  A single 128-row hub tile holding more edges
+    than max_edges_per_part cannot be split (parts are tile-bounded), so
+    under ``strict`` this raises here, at the cause, instead of a
+    RESOURCE_EXHAUSTED at run time."""
+    e_b_max = max(
+        (s.src.shape[0] for row in parts for s in row if s.n_edges), default=0
+    )
+    if e_b_max > _CELL_SLOT_BUDGET:
+        msg = (
+            f"2-D out-of-core: densest cell has {e_b_max} edge slots; its "
+            "message buffers may exceed HBM at d_pad=128 — raise "
+            "src_blocks or lower max_edges_per_part"
+        )
+        if strict:
+            raise ValueError(msg)
+        import warnings as _w
+
+        _w.warn(msg, stacklevel=3)
 
 
 def save_out_of_core_2d(oc: OutOfCoreAdj2D, path) -> None:
@@ -671,7 +684,10 @@ def spmm_out_of_core_2d(
     sb = oc.block_rows
     ws_shared = None
     if null_transfer:
-        key = np.dtype(x_host.dtype).name
+        # key by (dtype, d): the same layout can be measured with
+        # different feature widths, and a stale-shaped workspace would
+        # fail deep inside the jitted step
+        key = (np.dtype(x_host.dtype).name, d)
         ws_shared = oc._dev_ws.get(key)
         if ws_shared is None:
             xw0 = x_host[:sb]
@@ -789,7 +805,8 @@ def spmm_out_of_core(
 
     ws_shared = None
     if null_transfer:
-        key = np.dtype(x_host.dtype).name
+        # key by (dtype, d) — see the 2-D path's note
+        key = (np.dtype(x_host.dtype).name, x_host.shape[1])
         ws_shared = oc._dev_ws.get(key)
         if ws_shared is None:
             ws_shared = jnp.asarray(x_host[oc.parts[0].cols])

@@ -97,8 +97,10 @@ class GraphOp:
         """Normalized (and, on TPU, tile-chunked) adjacency with a one-entry
         cache — tasks like label reuse re-preprocess every epoch on the same
         graph, and the host re-layout should not be repaid each time.
-        ``hub_dtype`` keys the cache too: bf16 features store the dense hub
-        strip in bf16 (measured −4.4%/hop, ``prepare_chunked`` docs)."""
+        ``hub_dtype`` keys the cache too.  It is OPT-IN experimental only
+        (no default caller passes it): the bf16 strip won a keep-last
+        harness A/B but LOST in the production hop-stacking scan — see the
+        falsification note in :meth:`propagate` before wiring it on."""
         import weakref
 
         key = (backend, None if hub_dtype is None else str(hub_dtype))

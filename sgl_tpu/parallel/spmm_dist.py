@@ -291,6 +291,7 @@ def partition_adj_chunked(
     shuffle: bool = True,
     shuffle_seed: int = 0,
     skip_empty_tiles: bool = False,
+    feat_dim: Optional[int] = None,
 ) -> DistChunkedAdj:
     """Host-side partition into per-(owner, source-block) Pallas chunk
     layouts.  ``block`` is rounded up to the kernel's output-block height.
@@ -393,12 +394,25 @@ def partition_adj_chunked(
     if tile_rows is not None:
         r_cands = (tile_rows,)
     else:
-        # cap at 2048: the out block + (R, chunk) one-hot must fit VMEM
         r_cands = (128, 256, 512, 1024, 2048)
+    # VMEM bound: the kernel keeps the (R, d_pad) f32 output block
+    # resident across a tile's chunks, plus the (R, chunk) bf16 one-hot
+    # and double-buffered (chunk, d_pad) bf16 hi/lo message blocks — at
+    # wide D the 2048-row candidates stop fitting, and the same layout
+    # that compiled for D=128 would fail at run time.  ``feat_dim``
+    # (None = assume 128) lets callers that know the feature width
+    # filter candidates; (128, ·) always remains as the fallback.
+    d_pad = _round_up(max(int(feat_dim or 128), 1), 128)
+
+    def _fits_vmem(r, c):
+        return r * d_pad * 4 + r * c * 2 + 4 * c * d_pad * 2 <= (10 << 20)
+
     best = None
     for r in r_cands:
         blk_r, *_rest, cnt_r = _bucket_counts(r)
         for c in chunk_cands:
+            if r != 128 and not _fits_vmem(r, c):
+                continue
             s, _ = _slots(cnt_r, c)
             # measured per-slot model of the FULL bucket pipeline
             # (gather ⊕ hi/lo ⊕ one-hot reduce), fitted to the 25-config

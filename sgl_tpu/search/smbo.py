@@ -185,7 +185,22 @@ def _openbox_history_to_history(result, fallback_trials) -> History:
     New OpenBox: ``result.observations`` with ``.config``/``.objectives``;
     old OpenBox: ``result.configurations`` + ``result.perfs``.  When
     neither shape matches, fall back to the trials recorded by the wrapped
-    objective (always available — the wrapper logs every call)."""
+    objective (always available — the wrapper logs every call).  The
+    wrapper also timed every call, so the recognized paths recover real
+    per-trial ``elapsed`` by config lookup instead of recording 0.0
+    (which would silently diverge from the built-in optimizers')."""
+    def _make_elapsed_of():
+        by_cfg = {}
+        for cfg, _objs, elapsed in fallback_trials:
+            by_cfg.setdefault(frozenset(cfg.items()), []).append(elapsed)
+
+        def elapsed_of(cfg) -> float:
+            lst = by_cfg.get(frozenset(cfg.items()))
+            return lst.pop(0) if lst else 0.0
+
+        return elapsed_of
+
+    elapsed_of = _make_elapsed_of()
     history = History()
     obs = getattr(result, "observations", None)
     if obs:
@@ -197,16 +212,17 @@ def _openbox_history_to_history(result, fallback_trials) -> History:
             if cfg is None or objs is None:
                 break
             cfg = dict(cfg) if not hasattr(cfg, "get_dictionary") else cfg.get_dictionary()
-            history.add(cfg, np.asarray(objs, float), 0.0)
+            history.add(cfg, np.asarray(objs, float), elapsed_of(cfg))
         else:
             return history
         history = History()
+        elapsed_of = _make_elapsed_of()  # the partial pass consumed entries
     configs = getattr(result, "configurations", None)
     perfs = getattr(result, "perfs", None)
     if configs is not None and perfs is not None:
         for cfg, objs in zip(configs, perfs):
             cfg = cfg.get_dictionary() if hasattr(cfg, "get_dictionary") else dict(cfg)
-            history.add(cfg, np.asarray(objs, float), 0.0)
+            history.add(cfg, np.asarray(objs, float), elapsed_of(cfg))
         return history
     for cfg, objs, elapsed in fallback_trials:
         history.add(cfg, objs, elapsed)

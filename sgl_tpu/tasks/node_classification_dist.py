@@ -97,7 +97,14 @@ class NodeClassificationDist(BaseTask):
         partition = partition_adj_chunked if on_tpu else partition_adj
         t0 = time.time()
         adj = model.pre_graph_op.construct_adj(ds.graph)
-        dadj = partition(adj, n_graph)
+        # the chunked layout's (tile_rows, chunk) picker needs the feature
+        # width to keep its VMEM bound honest at wide D
+        kw = (
+            {"feat_dim": int(np.asarray(ds.x).shape[1])}
+            if partition is partition_adj_chunked
+            else {}
+        )
+        dadj = partition(adj, n_graph, **kw)
         x_in = jnp.asarray(ds.x)
         if self._precompute_dtype is not None:
             # bf16 rides the ring as-is (pad_features preserves it):
@@ -163,23 +170,31 @@ class NodeClassificationDist(BaseTask):
             # (K+1, B, D) psum gather
             pf_eval = self._model.processed_feature
 
-            def eval_acc(params, idx):
+            def eval_accs(params, idxs):
+                # ONE full-graph forward per epoch, shared by every split
+                # (val + test) — the O(N) pass is the dominant eval cost
                 logits_pad = pf_eval.map_rows(_head, params)
                 preds = jnp.argmax(logits_pad, axis=1)
-                idx = jnp.asarray(idx)
-                lookup = idx if pf_eval.new_of is None else jnp.take(
-                    pf_eval.new_of, idx
-                )
-                return float(
-                    jnp.mean(jnp.take(preds, lookup) == labels[idx])
-                )
+                out = []
+                for idx in idxs:
+                    idx = jnp.asarray(idx)
+                    lookup = idx if pf_eval.new_of is None else jnp.take(
+                        pf_eval.new_of, idx
+                    )
+                    out.append(
+                        float(jnp.mean(jnp.take(preds, lookup) == labels[idx]))
+                    )
+                return out
         else:
-            def eval_acc(params, idx):
-                feats = model.batch_input(jnp.asarray(idx))
-                lg = logits_of(params, feats)
-                return float(
-                    jnp.mean(jnp.argmax(lg, axis=1) == labels[jnp.asarray(idx)])
-                )
+            def eval_accs(params, idxs):
+                out = []
+                for idx in idxs:
+                    feats = model.batch_input(jnp.asarray(idx))
+                    lg = logits_of(params, feats)
+                    out.append(float(jnp.mean(
+                        jnp.argmax(lg, axis=1) == labels[jnp.asarray(idx)]
+                    )))
+                return out
 
         n_data = mesh.shape["data"]
 
@@ -188,7 +203,9 @@ class NodeClassificationDist(BaseTask):
             rows (the weighted loss ignores them) so every batch shards."""
             rem = (-len(b_idx)) % n_data
             if rem:
-                b_idx = np.concatenate([b_idx, b_idx[:rem]])
+                # np.resize tiles cyclically — a batch SMALLER than the
+                # data axis (tiny train split) still fills all rem rows
+                b_idx = np.concatenate([b_idx, np.resize(b_idx, rem)])
                 w = np.concatenate([w, np.zeros(rem, w.dtype)])
             return b_idx, w
 
@@ -206,8 +223,7 @@ class NodeClassificationDist(BaseTask):
                 )
                 state, loss, acc = step(state, f, l, wj)
                 losses.append(float(loss))
-            acc_val = eval_acc(state.params, val_idx)
-            acc_test = eval_acc(state.params, test_idx)
+            acc_val, acc_test = eval_accs(state.params, (val_idx, test_idx))
             if self._verbose:
                 print(
                     f"Epoch: {epoch + 1:03d} loss_train: {np.mean(losses):.4f} "

@@ -664,3 +664,33 @@ def test_prepare_chunked_hub_dtype_bf16():
     assert err < 3e-2, err
     gx = jax.grad(lambda v: jnp.sum(spmm_pallas(ch, v, True) ** 2))(x16)
     assert bool(jnp.all(jnp.isfinite(gx.astype(jnp.float32))))
+
+
+def test_out_of_core_2d_strict_guard_runs_on_cache_hit(tmp_path, monkeypatch):
+    """The HBM cell-budget guard must fire on WARM cache loads too: a
+    layout cached with strict=False (warn-only) still raises for a later
+    strict=True caller instead of silently bypassing the check (round-4
+    review fix)."""
+    import pytest
+
+    import sgl_tpu.kernels.spmm_ooc as mod
+    from sgl_tpu.datasets.synthetic import random_power_law_graph
+    from sgl_tpu.kernels import prepare_out_of_core_2d
+
+    g = random_power_law_graph(2_000, 4, 6, seed=5, alpha=1.3,
+                               pad_multiple=1024)
+    adj = symmetric_normalized_weights(g)
+    cd = str(tmp_path)
+    monkeypatch.setattr(mod, "_CELL_SLOT_BUDGET", 64)  # every cell trips it
+    with pytest.warns(UserWarning, match="densest cell"):
+        prepare_out_of_core_2d(
+            adj, max_edges_per_part=4 * 128, src_blocks=4, cache_dir=cd
+        )
+    import os
+
+    assert len(os.listdir(cd)) == 1  # the layout itself was cached
+    with pytest.raises(ValueError, match="densest cell"):
+        prepare_out_of_core_2d(
+            adj, max_edges_per_part=4 * 128, src_blocks=4, cache_dir=cd,
+            strict=True,
+        )

@@ -145,6 +145,9 @@ def test_nas_openbox_adapter_with_stub(monkeypatch):
     # result is converted to OUR History (backend-agnostic downstream)
     assert len(out.trials) == 2
     assert -out.best_accuracy_trial.objs[0] > 0
+    # the wrapper's real per-trial timings survive the conversion (the
+    # recognized paths used to zero them out)
+    assert all(t.elapsed > 0 for t in out.trials)
 
 
 def test_nas_openbox_adapter_new_api(monkeypatch):
@@ -228,6 +231,7 @@ def test_nas_openbox_adapter_new_api(monkeypatch):
     configer._setParameters(DS, None, 16, epochs=2, lr=0.05, wd=5e-5, restarts=1)
     out = run_nas(configer, max_runs=2, optimizer="openbox", verbose=False)
     assert len(out.trials) == 2
+    assert all(t.elapsed > 0 for t in out.trials)  # timings recovered
     assert -out.best_accuracy_trial.objs[0] > 0
     assert set(out.trials[0].config) == {
         "prop_steps", "prop_types", "mesg_types", "num_layers",
