@@ -16,10 +16,39 @@ choose the location (default ``~/.cache/sgl_tpu/xla``).
 
 from __future__ import annotations
 
+import hashlib
 import os
 
+
+def _host_fingerprint() -> str:
+    """Short digest of the host CPU's feature set.
+
+    XLA:CPU persists AOT-compiled code whose cache key does NOT include
+    the compiling machine's CPU features — a cache written on an
+    AVX-512/AMX host and read on a lesser one loads with
+    "Machine type ... doesn't match" errors and can SIGILL (observed in
+    this repo's CI environment, where the home directory travels across
+    heterogeneous hosts).  Scoping the cache directory by a feature
+    digest makes cross-machine reuse structurally impossible."""
+    try:
+        import platform
+
+        bits = platform.machine()
+        try:
+            with open("/proc/cpuinfo") as f:
+                for line in f:
+                    if line.startswith("flags"):
+                        bits += " " + " ".join(sorted(line.split()[2:]))
+                        break
+        except OSError:
+            pass
+        return hashlib.sha1(bits.encode()).hexdigest()[:10]
+    except Exception:
+        return "unknown"
+
+
 _DEFAULT_DIR = os.path.join(
-    os.path.expanduser("~"), ".cache", "sgl_tpu", "xla"
+    os.path.expanduser("~"), ".cache", "sgl_tpu", "xla-" + _host_fingerprint()
 )
 
 
