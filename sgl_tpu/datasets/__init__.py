@@ -2,6 +2,7 @@ from sgl_tpu.datasets.base import GraphDataset, NodeDataset, HeteroNodeDataset, 
 from sgl_tpu.datasets.synthetic import (
     PlantedPartition,
     SyntheticGraphClassification,
+    SyntheticPowerLaw,
     random_power_law_graph,
     synthetic_hetero,
     SyntheticHeteroDataset,

@@ -102,6 +102,85 @@ def random_power_law_graph(
     )
 
 
+class SyntheticPowerLaw(NodeDataset):
+    """Homophilous power-law graph in the ``NodeDataset`` lifecycle.
+
+    The degree distribution is Zipf-skewed like the OGB-scale graphs
+    (products / papers100M — SURVEY.md §7 names the skew as THE hard
+    part for row tiling), and edges prefer same-class endpoints
+    (``homophily``) with class-correlated features, so propagation adds
+    signal and the pipeline demos train to a recoverable target instead
+    of noise.  Used by ``examples/papers100m_pipeline.py`` to rehearse
+    the papers100M recipe offline at any size.
+    """
+
+    def __init__(
+        self,
+        num_nodes: int = 100_000,
+        avg_degree: int = 14,
+        feat_dim: int = 128,
+        num_classes: int = 16,
+        alpha: float = 1.2,
+        homophily: float = 0.8,
+        feature_noise: float = 2.0,
+        seed: int = 0,
+        train_ratio: float = 0.1,
+        val_ratio: float = 0.05,
+        pad_multiple: int = 4096,
+    ):
+        self._n = num_nodes
+        self._deg = avg_degree
+        self._d = feat_dim
+        self._c = num_classes
+        self._alpha = alpha
+        self._hom = homophily
+        self._noise = feature_noise
+        self._seed = seed
+        self._train_ratio = train_ratio
+        self._val_ratio = val_ratio
+        self._pad = pad_multiple
+        super().__init__(name=f"powerlaw_{num_nodes}_{seed}", use_cache=False)
+
+    def _raw_exists(self) -> bool:
+        return True
+
+    def _process(self) -> Graph:
+        rng = np.random.default_rng(self._seed)
+        n, c, d = self._n, self._c, self._d
+        y = rng.integers(0, c, n)
+        centroids = rng.normal(size=(c, d)).astype(np.float32)
+        x = centroids[y] + self._noise * rng.normal(size=(n, d)).astype(
+            np.float32
+        )
+        e = n * self._deg // 2
+        # Zipf-weighted sources (hubs), uniform destinations ...
+        w = np.arange(1, n + 1, dtype=np.float64) ** (-self._alpha)
+        w /= w.sum()
+        src = rng.choice(n, size=e, p=w).astype(np.int64)
+        dst = rng.integers(0, n, e).astype(np.int64)
+        # ... then homophilous edges redraw dst within the source's class
+        hom = rng.random(e) < self._hom
+        if hom.any():
+            cls_nodes = [np.flatnonzero(y == k) for k in range(c)]
+            src_cls = y[src]
+            for k in range(c):
+                m = hom & (src_cls == k)
+                if m.any() and cls_nodes[k].size:
+                    dst[m] = rng.choice(cls_nodes[k], size=int(m.sum()))
+        keep = src != dst
+        src, dst = src[keep], dst[keep]
+        src_u = np.concatenate([src, dst]).astype(np.int32)
+        dst_u = np.concatenate([dst, src]).astype(np.int32)
+        return Graph.from_coo(
+            src_u, dst_u, num_nodes=n, x=x, y=y, pad_multiple=self._pad
+        )
+
+    def _split(self) -> None:
+        self.train_idx, self.val_idx, self.test_idx = random_split(
+            self._n, self._train_ratio, self._val_ratio, seed=self._seed
+        )
+
+
 class SyntheticHeteroDataset(HeteroNodeDataset):
     """Wraps :func:`synthetic_hetero` in the ``HeteroNodeDataset`` lifecycle
     with a random split over the predict-class nodes (local ids)."""

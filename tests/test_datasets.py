@@ -312,3 +312,25 @@ def test_hgb_pt_parser(tmp_path):
     # featureless types got synthesized features
     assert ds.data["author"].x is not None
     assert ds.data["author"].x.shape == (n_author, 4)
+
+
+def test_synthetic_power_law_dataset():
+    """OGB-shaped homophilous power-law dataset: degree skew present,
+    class signal recoverable by SGC (the papers100m_pipeline rehearsal
+    graph must train to well above chance)."""
+    import numpy as np
+
+    from sgl_tpu.datasets import SyntheticPowerLaw
+    from sgl_tpu.models.homo import SGC
+    from sgl_tpu.tasks import NodeClassification
+
+    ds = SyntheticPowerLaw(num_nodes=2_000, avg_degree=10, feat_dim=16,
+                           num_classes=8, seed=1, train_ratio=0.3)
+    src = np.asarray(ds.graph.src)[: ds.graph.num_edges]
+    deg = np.bincount(src, minlength=ds.num_node)
+    assert deg.max() > 20 * max(deg.mean(), 1e-9)  # zipf skew, not uniform
+    acc = NodeClassification(
+        ds, SGC(2, ds.num_features, ds.num_classes),
+        lr=0.1, weight_decay=5e-5, epochs=15, verbose=False,
+    ).test_acc
+    assert acc > 0.5, acc  # 8 classes -> chance is 0.125
