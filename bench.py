@@ -141,6 +141,22 @@ def bench_spmm(n=200_000, avg_deg=25, d=128, iters=3):
         except Exception as e:  # pallas may be unsupported on some backends
             log(f"spmm[{backend}] failed: {type(e).__name__}: {e}")
 
+    # on-chip numerics guard: interpret-mode CPU tests cannot see real-
+    # hardware kernel bugs, so the timed Pallas path must also MATCH the
+    # XLA segment path here before its throughput is reported
+    if "segment" in results and "pallas" in results:
+        ys = jax.jit(
+            lambda a, xx: k_hop_propagate(a, xx, 2, backend="segment")[-1]
+        )(adj, x)
+        yp = jax.jit(
+            lambda a, xx: k_hop_propagate(a, xx, 2, backend="pallas")[-1]
+        )(chunked, x)
+        err = float(
+            jnp.max(jnp.abs(ys - yp)) / (jnp.max(jnp.abs(ys)) + 1e-30)
+        )
+        assert err < 1e-3, f"pallas vs segment on-chip rel err {err}"
+        log(f"numerics guard: pallas vs segment rel err {err:.2e} (< 1e-3)")
+
     # bf16 precompute — the documented production default (accuracy-neutral
     # across the promotion study, docs/PERFORMANCE.md): single-pass kernel,
     # half the hop-cache memory.  (bf16 hub strip falsified for this
