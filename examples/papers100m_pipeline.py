@@ -63,6 +63,10 @@ def main(argv=None):
     ap.add_argument("--batch", type=int, default=50_000)
     ap.add_argument("--data", default=None,
                     help="root holding a real ogbn-papers100M raw dump")
+    ap.add_argument("--bf16", action="store_true",
+                    help="bf16 features end-to-end: half the host->device "
+                         "volume (the bound in this regime), half the hop "
+                         "store, single-pass kernel")
     ap.add_argument("--toy", action="store_true",
                     help="2k nodes + interpret-mode kernels (CPU smoke)")
     args = ap.parse_args(argv)
@@ -90,11 +94,17 @@ def main(argv=None):
 
     model = GAMLP(args.hops, d, ds.num_classes, hidden_dim=256, num_layers=3)
 
+    x_host = np.asarray(ds.x)
+    if args.bf16:
+        import ml_dtypes
+
+        x_host = x_host.astype(ml_dtypes.bfloat16)
+
     t1 = time.time()
     sink = MemmapHopSink(args.store, num_nodes=n, feat_dim=d,
-                         prop_steps=args.hops)
+                         prop_steps=args.hops, dtype=x_host.dtype)
     model.pre_graph_op.propagate_out_of_core(
-        ds.graph, np.asarray(ds.x), hop_sink=sink, layout="2d",
+        ds.graph, x_host, hop_sink=sink, layout="2d",
         src_blocks=2 if args.toy else args.src_blocks,
         max_edges_per_part=8 * 128 if args.toy else args.part_edges,
         layout_cache_dir=args.layout_cache,

@@ -97,21 +97,34 @@ class MemmapHopSink:
     def path(self, k: int) -> str:
         return os.path.join(self.root, f"hop_{k}.npy")
 
+    def _storage_dtype(self) -> np.dtype:
+        # the .npy format cannot round-trip ml_dtypes types (bf16 loads
+        # back as void "|V2"); store the raw bits as a same-width uint and
+        # view them back on load — a view, so the memmap stays zero-copy
+        if self.dtype.kind == "V" or self.dtype.name.startswith(
+            ("bfloat16", "float8")
+        ):
+            return np.dtype(f"u{self.dtype.itemsize}")
+        return self.dtype
+
     def __call__(self, k: int, arr: np.ndarray) -> None:
+        storage = self._storage_dtype()
         mm = np.lib.format.open_memmap(
-            self.path(k), mode="w+", dtype=self.dtype,
+            self.path(k), mode="w+", dtype=storage,
             shape=(self.num_nodes, self.feat_dim),
         )
-        mm[:] = arr
+        arr = np.ascontiguousarray(arr, self.dtype)
+        mm[:] = arr.view(storage) if storage != self.dtype else arr
         mm.flush()
         del mm
 
     def hops(self, agg: Optional[Callable] = None) -> HostHops:
         """Open the written hops read-only (memmapped)."""
-        return HostHops(
-            [
-                np.load(self.path(k), mmap_mode="r")
-                for k in range(self.prop_steps + 1)
-            ],
-            agg=agg,
-        )
+        storage = self._storage_dtype()
+        raw = [
+            np.load(self.path(k), mmap_mode="r")
+            for k in range(self.prop_steps + 1)
+        ]
+        if storage != self.dtype:
+            raw = [m.view(self.dtype) for m in raw]
+        return HostHops(raw, agg=agg)

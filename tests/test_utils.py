@@ -87,3 +87,25 @@ def test_warmup_schedule():
     g = {"w": jnp.ones(3)}
     u1, state = tx.update(g, state, params)
     assert float(jnp.abs(u1["w"]).max()) < 0.02  # warmed-down first step
+
+
+def test_memmap_hop_sink_bf16_roundtrip(tmp_path):
+    """bf16 hop stores round-trip through .npy: the format cannot encode
+    ml_dtypes types (they load back as void "|V2"), so the sink stores
+    raw uint16 bits and views them back — zero-copy on the memmap."""
+    import ml_dtypes
+    import numpy as np
+
+    from sgl_tpu.utils import MemmapHopSink
+
+    bf16 = np.dtype(ml_dtypes.bfloat16)
+    sink = MemmapHopSink(str(tmp_path), num_nodes=10, feat_dim=4,
+                         prop_steps=1, dtype=bf16)
+    a0 = np.arange(40, dtype=np.float32).reshape(10, 4).astype(bf16)
+    a1 = (a0.astype(np.float32) * 0.5).astype(bf16)
+    sink(0, a0)
+    sink(1, a1)
+    hh = sink.hops()
+    rows = np.asarray(hh.rows(np.asarray([1, 3])), np.float32)
+    np.testing.assert_array_equal(rows[0], a0[[1, 3]].astype(np.float32))
+    np.testing.assert_array_equal(rows[1], a1[[1, 3]].astype(np.float32))
