@@ -736,9 +736,12 @@ def spmm_out_of_core_2d(
             continue  # no readback in measurement mode
         for p in g:
             off, valid = oc.row_offsets[p], oc.valid_rows[p]
-            out[off:off + valid] = np.asarray(
-                accs[p][:valid]
-            ).astype(out.dtype)
+            dev = accs[p][:valid]
+            if out.dtype != np.float32:
+                # cast ON DEVICE: a bf16 output halves the D2H leg too
+                # (the accumulators stay f32 through the adds)
+                dev = dev.astype(out.dtype)
+            out[off:off + valid] = np.asarray(dev)
     if null_transfer:
         # a 1-element fetch is a REAL sync even where block_until_ready
         # returns early (the tunneled dev chip); cells execute in program
@@ -800,8 +803,13 @@ def spmm_out_of_core(
     def flush(pending):
         dev, off, valid = pending
         hi = min(off + valid, oc.num_nodes)
+        dev = dev[: hi - off]
+        if out.dtype != np.float32:
+            # cast ON DEVICE: bf16 output halves the D2H leg (boundary
+            # rows pay one extra rounding in the host-side overlap-add)
+            dev = dev.astype(out.dtype)
         # consecutive parts may share a boundary tile -> overlap-ADD
-        out[off:hi] += np.asarray(dev[: hi - off]).astype(out.dtype)
+        out[off:hi] += np.asarray(dev)
 
     ws_shared = None
     if null_transfer:
