@@ -3,11 +3,22 @@
 # snapshot on a red suite).  Runs the full CPU suite and the multi-chip
 # dryrun; exits nonzero on any failure.  Run it BEFORE any snapshot
 # commit and record the result in the commit body.
+#
+# --fast: inner-loop mode — the curated <90 s smoke tier (pytest -m fast)
+# instead of the ~9 min full suite.  The full run remains the snapshot
+# gate; --fast is for iterating.
 set -euo pipefail
 cd "$(dirname "$0")/.."
 
-echo "== full test suite (CPU, 8 virtual devices) =="
-env -u PALLAS_AXON_POOL_IPS JAX_PLATFORMS=cpu python -m pytest tests/ -q
+MARK=()
+LABEL="full test suite"
+if [[ "${1:-}" == "--fast" ]]; then
+    MARK=(-m fast)
+    LABEL="fast smoke tier"
+fi
+
+echo "== ${LABEL} (CPU, 8 virtual devices) =="
+env -u PALLAS_AXON_POOL_IPS JAX_PLATFORMS=cpu python -m pytest tests/ -q "${MARK[@]}"
 
 echo "== multi-chip dryrun (adversarial power-law graph) =="
 env -u PALLAS_AXON_POOL_IPS JAX_PLATFORMS=cpu \

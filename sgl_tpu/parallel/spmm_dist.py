@@ -407,11 +407,19 @@ def partition_adj_chunked(
     def _fits_vmem(r, c):
         return r * d_pad * 4 + r * c * 2 + 4 * c * d_pad * 2 <= (10 << 20)
 
+    # The VMEM filter applies at EVERY r (the chunk-dependent
+    # double-buffered message-block term can blow the budget at r=128
+    # too, e.g. d_pad=8192 with chunk=512) — but one candidate, the
+    # smallest (r, chunk) the caller's pins allow, stays unconditionally
+    # eligible so ``best`` is never None: an explicitly pinned config is
+    # honored (an infeasible pin then fails with the compiler's own
+    # resource error at the pinned shape, not an opaque TypeError here).
+    fallback = (min(r_cands), min(chunk_cands))
     best = None
     for r in r_cands:
         blk_r, *_rest, cnt_r = _bucket_counts(r)
         for c in chunk_cands:
-            if r != 128 and not _fits_vmem(r, c):
+            if not _fits_vmem(r, c) and (r, c) != fallback:
                 continue
             s, _ = _slots(cnt_r, c)
             # measured per-slot model of the FULL bucket pipeline

@@ -189,13 +189,19 @@ def _openbox_history_to_history(result, fallback_trials) -> History:
     wrapper also timed every call, so the recognized paths recover real
     per-trial ``elapsed`` by config lookup instead of recording 0.0
     (which would silently diverge from the built-in optimizers')."""
+    def _cfg_key(cfg):
+        # canonical repr of sorted items: hashable even for list-valued
+        # hyperparameters, and robust to value-type drift between
+        # OpenBox's returned config dicts and the wrapper's recorded ones
+        return repr(sorted((str(k), repr(v)) for k, v in cfg.items()))
+
     def _make_elapsed_of():
         by_cfg = {}
         for cfg, _objs, elapsed in fallback_trials:
-            by_cfg.setdefault(frozenset(cfg.items()), []).append(elapsed)
+            by_cfg.setdefault(_cfg_key(cfg), []).append(elapsed)
 
         def elapsed_of(cfg) -> float:
-            lst = by_cfg.get(frozenset(cfg.items()))
+            lst = by_cfg.get(_cfg_key(cfg))
             return lst.pop(0) if lst else 0.0
 
         return elapsed_of

@@ -31,6 +31,79 @@ import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 import scipy.sparse as sp  # noqa: E402
 
+# ---------------------------------------------------------------------------
+# Fast smoke tier (VERDICT r4 #8): ``pytest -m fast`` runs a curated <90 s
+# selection touching every subsystem — the inner-loop gate for
+# dev/preflight.sh --fast.  The FULL suite stays the snapshot gate.
+# Whole modules listed in _FAST_MODULES are cheap end to end; individual
+# picks below are the quick representative(s) of their subsystem.
+# ---------------------------------------------------------------------------
+
+_FAST_MODULES = {
+    "test_parity_inventory.py",  # grep-level component inventory
+    "test_transforms.py",
+    "test_utils.py",
+}
+_FAST_TESTS = {
+    # kernels: scipy parity, pallas splits, streaming, OOC, bf16, grad
+    "test_kernels.py::test_sym_norm_spmm_matches_scipy",
+    "test_kernels.py::test_pallas_spmm_split_paths",
+    "test_kernels.py::test_streaming_spmm_matches_segment",
+    "test_kernels.py::test_out_of_core_matches_segment",
+    "test_kernels.py::test_pallas_spmm_bf16_single_pass",
+    "test_kernels.py::test_spmm_grad_flows",
+    # distributed: ring allclose, DP step, bf16 ring
+    "test_distributed.py::test_ring_spmm_chunked_matches_single_device",
+    "test_distributed.py::test_parallel_train_step_matches_single_device",
+    "test_distributed.py::test_ring_spmm_bf16_features",
+    # driver entry
+    "test_graft_entry.py::test_entry_compiles_and_runs",
+    # graph-level tasks
+    "test_graph_level.py::test_segment_readout_matches_loop",
+    "test_graph_level.py::test_graph_sign_runs",
+    # hetero / NARS
+    "test_hetero.py::test_sample_by_edge_type_structure",
+    "test_hetero.py::test_fast_nars_sgc_with_subgraph_weight",
+    "test_hetero_forward_parity.py::test_nars_sign_forward_parity",
+    # message ops
+    "test_message_ops.py::test_simple_reductions",
+    "test_message_ops.py::test_learnable_weighted_shapes_and_grads",
+    "test_message_ops.py::test_nafs_matches_reference_loop",
+    # model forward parity vs the actual reference
+    "test_model_forward_parity.py::test_sgc_forward_parity",
+    "test_model_forward_parity.py::test_sign_forward_parity",
+    # models e2e
+    "test_models_e2e.py::test_sgc",
+    "test_models_e2e.py::test_dist_aliases",
+    "test_models_e2e.py::test_fast_dropout_statistics",
+    # native csrc layer
+    "test_native.py::test_native_compiles",
+    "test_native.py::test_full_build_matches_jax_normalize",
+    "test_native.py::test_gather_rows_matches_numpy",
+    # numerical parity vs reference
+    "test_reference_parity.py::test_laplacian_propagation_parity",
+    # NAS
+    "test_search.py::test_search_model_invalid_arch",
+    "test_search.py::test_nas_openbox_adapter_with_stub",
+    "test_search.py::test_prop_cache_slice_and_extend_match_direct",
+    # tasks
+    "test_tasks.py::test_label_propagation_bounds",
+    "test_tasks.py::test_link_prediction_gae",
+    "test_tasks.py::test_node_clustering_trainable",
+    # datasets
+    "test_datasets.py::test_karate_club_offline",
+    "test_datasets.py::test_custom_homo_roundtrip",
+    "test_datasets.py::test_planetoid_format_parser",
+}
+
+
+def pytest_collection_modifyitems(config, items):
+    for item in items:
+        fname = item.fspath.basename
+        base = f"{fname}::{item.originalname or item.name}"
+        if fname in _FAST_MODULES or base.split("[")[0] in _FAST_TESTS:
+            item.add_marker(pytest.mark.fast)
+
 
 def random_graph(n=200, avg_deg=8, d=16, num_classes=4, seed=0, weighted=False):
     """Small random undirected graph with features/labels, plus its scipy CSR."""

@@ -451,3 +451,25 @@ def test_partition_chunked_feat_dim_caps_tile_rows():
     narrow = partition_adj_chunked(adj, 4)
     default = partition_adj_chunked(adj, 4, feat_dim=128)
     assert narrow.tile_rows == default.tile_rows
+    # r=128 is NOT exempt: its chunk-dependent message-block term can blow
+    # the budget at wide D too, so the chosen chunk must fit (or be the
+    # unconditional smallest-candidate fallback)
+    if r == 128:
+        assert chunk == 32 or (
+            r * d_pad * 4 + r * chunk * 2 + 4 * chunk * d_pad * 2
+            <= (10 << 20)
+        ), chunk
+
+
+def test_partition_chunked_pinned_tile_rows_never_typeerrors():
+    """ADVICE r4: a pinned non-128 tile_rows whose every chunk candidate
+    fails the VMEM bound must still build (the pin is honored; an
+    infeasible pin fails at compile with the real resource error) instead
+    of dying on ``best is None``."""
+    from sgl_tpu.datasets.synthetic import random_power_law_graph
+    from sgl_tpu.parallel import partition_adj_chunked
+
+    g = random_power_law_graph(20_480, 3, 8, seed=0, alpha=1.5)
+    adj = symmetric_normalized_weights(g)
+    dadj = partition_adj_chunked(adj, 4, tile_rows=2048, feat_dim=8192)
+    assert dadj.tile_rows == 2048

@@ -345,3 +345,31 @@ def test_nas_loop_uses_shared_prop_cache():
     assert cache is not None
     assert cache.hits + cache.misses == 6
     assert cache.hits >= 1  # 6 trials over a (1,3)x(1,4)-ish space must collide
+
+
+def test_openbox_history_elapsed_with_unhashable_config_values():
+    """ADVICE r4: elapsed recovery must key configs by a canonical repr —
+    a list-valued hyperparameter (unhashable) or value-type drift between
+    OpenBox's dicts and the wrapper's must degrade gracefully, never
+    TypeError."""
+    import types
+
+    from sgl_tpu.search.smbo import _openbox_history_to_history
+
+    cfg = {"prop_steps": 2, "widths": [64, 32]}  # list value: unhashable
+    trials = [(cfg, [-0.5, 1.0], 3.25)]
+    obs = [types.SimpleNamespace(config=dict(cfg), objectives=[-0.5, 1.0])]
+    result = types.SimpleNamespace(observations=obs)
+    hist = _openbox_history_to_history(result, trials)
+    assert len(hist.trials) == 1
+    assert hist.trials[0].elapsed == 3.25  # real elapsed recovered by key
+    # drifted value type (int vs np-ish float repr difference is fine to
+    # miss, but it must not raise)
+    drifted = types.SimpleNamespace(
+        observations=[types.SimpleNamespace(
+            config={"prop_steps": 2.0, "widths": [64, 32]},
+            objectives=[-0.5, 1.0],
+        )]
+    )
+    hist2 = _openbox_history_to_history(drifted, trials)
+    assert len(hist2.trials) == 1
