@@ -250,6 +250,11 @@ class OutOfCoreAdj2D:
     valid_rows: List[int]  # real rows per part
     parts: List[List[OocSubPart]]  # [part][block]
     diag: Optional[np.ndarray]
+    # kernel output-block height (multiple of 128).  Wider blocks divide
+    # each cell's per-tile chunk round-up by tile_rows/128 at the price
+    # of a (tile_rows, chunk) one-hot — the same lever as the ring
+    # layout's multi-tile blocks (docs/PERFORMANCE.md round 4).
+    tile_rows: int = 128
     _dev_edges: dict = dataclasses.field(default_factory=dict, repr=False)
     # null-transfer measurement mode: one shared device workspace per
     # dtype (see spmm_out_of_core_2d(null_transfer=True))
@@ -278,6 +283,7 @@ def prepare_out_of_core_2d(
     *,
     split_diag: bool = True,
     chunk: Optional[int] = None,
+    tile_rows: int = 128,
     strict: bool = False,
     cache_dir: Optional[str] = None,
 ) -> OutOfCoreAdj2D:
@@ -320,7 +326,7 @@ def prepare_out_of_core_2d(
         os.makedirs(cache_dir, exist_ok=True)
         cache_path = _layout_cache_path(
             cache_dir, src, dst, w, n, max_edges_per_part, src_blocks,
-            split_diag, chunk or 128,
+            split_diag, chunk or 128, tile_rows,
         )
         if os.path.exists(cache_path):
             t0 = time.time()
@@ -345,12 +351,15 @@ def prepare_out_of_core_2d(
             src, dst, w = src[~loop], dst[~loop], w[~loop]
 
     chunk = chunk or 128
+    tr = int(tile_rows)
+    if tr % TILE_R:
+        raise ValueError(f"tile_rows must be a multiple of {TILE_R}: {tr}")
     k = max(int(src_blocks), 1)
     sb = _round_up(-(-n // k), TILE_R)
 
-    # dst parts on TILE boundaries, balanced by edge count
-    n_tiles_total = _round_up(n, TILE_R) // TILE_R
-    tile_of_all = dst // TILE_R
+    # dst parts on output-block boundaries, balanced by edge count
+    n_tiles_total = _round_up(n, tr) // tr
+    tile_of_all = dst // tr
     tile_counts = np.bincount(tile_of_all, minlength=n_tiles_total)
     cum = np.cumsum(tile_counts)
     n_parts = max(-(-int(cum[-1]) // max_edges_per_part), 1)
@@ -361,7 +370,7 @@ def prepare_out_of_core_2d(
         bounds.append(n_tiles_total)
     n_parts = len(bounds) - 1
     n_tiles = max(hi - lo for lo, hi in zip(bounds[:-1], bounds[1:]))
-    n_rows = n_tiles * TILE_R
+    n_rows = n_tiles * tr
 
     # (part, block) bucket of every edge, then ONE sort so the subpart
     # loop below is pure slicing.  Fast path: when the input is already
@@ -385,7 +394,7 @@ def prepare_out_of_core_2d(
 
     # first pass: per-subpart padded chunk counts -> global c_max
     def _subpart_padded(lo, hi, t_lo):
-        tiles = (dst[lo:hi] // TILE_R) - t_lo
+        tiles = (dst[lo:hi] // tr) - t_lo
         counts = np.bincount(tiles, minlength=n_tiles)
         padded = np.where(counts > 0, _round_up_arr_np_local(counts, chunk), 0)
         return counts, padded
@@ -438,11 +447,11 @@ def prepare_out_of_core_2d(
             )
             o_dst = np.empty(e_b, np.int64)
             tile_fill = np.repeat(np.arange(n_tiles), padded)
-            o_dst[: tile_fill.shape[0]] = tile_fill * TILE_R
-            o_dst[tile_fill.shape[0]:] = pad_tile * TILE_R
+            o_dst[: tile_fill.shape[0]] = tile_fill * tr
+            o_dst[tile_fill.shape[0]:] = pad_tile * tr
             if hi > lo:
-                d_loc = dst[lo:hi] - t_lo * TILE_R
-                tiles = d_loc // TILE_R
+                d_loc = dst[lo:hi] - t_lo * tr
+                tiles = d_loc // tr
                 starts = np.concatenate([[0], np.cumsum(counts)])
                 pos = offs[tiles] + (np.arange(hi - lo) - starts[tiles])
                 o_src[pos] = (src[lo:hi] - b * sb).astype(np.int32)
@@ -471,13 +480,14 @@ def prepare_out_of_core_2d(
         n_rows=n_rows,
         block_rows=sb,
         num_blocks=k,
-        row_offsets=[bounds[p] * TILE_R for p in range(n_parts)],
+        row_offsets=[bounds[p] * tr for p in range(n_parts)],
         valid_rows=[
-            min((bounds[p + 1] - bounds[p]) * TILE_R, n - bounds[p] * TILE_R)
+            min((bounds[p + 1] - bounds[p]) * tr, n - bounds[p] * tr)
             for p in range(n_parts)
         ],
         parts=parts,
         diag=diag,
+        tile_rows=tr,
     )
     if cache_path is not None:
         t0 = time.time()
@@ -531,7 +541,7 @@ def save_out_of_core_2d(oc: OutOfCoreAdj2D, path) -> None:
 
     put("meta", np.asarray(
         [oc.num_nodes, oc.n_rows, oc.block_rows, oc.num_blocks,
-         len(oc.parts)], np.int64
+         len(oc.parts), oc.tile_rows], np.int64
     ))
     put("row_offsets", np.asarray(oc.row_offsets, np.int64))
     put("valid_rows", np.asarray(oc.valid_rows, np.int64))
@@ -565,9 +575,10 @@ def load_out_of_core_2d(path) -> OutOfCoreAdj2D:
             mmap_mode="r" if mmap else None,
         )
 
-    num_nodes, n_rows, block_rows, num_blocks, n_parts = get(
-        "meta", mmap=False
-    ).tolist()
+    meta = get("meta", mmap=False).tolist()
+    # pre-round-5 caches have no tile_rows entry (always 128 then)
+    num_nodes, n_rows, block_rows, num_blocks, n_parts = meta[:5]
+    tile_rows = meta[5] if len(meta) > 5 else 128
     ne = get("n_edges", mmap=False)
     parts = []
     for p in range(n_parts):
@@ -589,19 +600,24 @@ def load_out_of_core_2d(path) -> OutOfCoreAdj2D:
         valid_rows=get("valid_rows", mmap=False).tolist(),
         parts=parts,
         diag=get("diag") if has_diag else None,
+        tile_rows=int(tile_rows),
     )
 
 
 def _layout_cache_path(cache_dir, src, dst, w, n, max_edges_per_part,
-                       src_blocks, split_diag, chunk):
+                       src_blocks, split_diag, chunk, tile_rows=128):
     """Content-keyed cache path: the key hashes the full edge arrays plus
     every layout parameter, so a changed graph or config never aliases."""
     import hashlib
 
     h = hashlib.sha1()
     h.update(
-        f"v2|{n}|{max_edges_per_part}|{src_blocks}|{split_diag}|{chunk}|"
-        f"{src.shape[0]}".encode()
+        (
+            f"v2|{n}|{max_edges_per_part}|{src_blocks}|{split_diag}|{chunk}|"
+            f"{src.shape[0]}"
+            # default stays byte-compatible with pre-round-5 cache keys
+            + (f"|tr{tile_rows}" if tile_rows != 128 else "")
+        ).encode()
     )
     for a in (src, dst, w):
         h.update(np.ascontiguousarray(a).tobytes())
@@ -609,10 +625,11 @@ def _layout_cache_path(cache_dir, src, dst, w, n, max_edges_per_part,
 
 
 @functools.partial(
-    jax.jit, static_argnames=("n_rows", "interpret", "masked")
+    jax.jit, static_argnames=("n_rows", "interpret", "masked", "tile_r")
 )
 def _ooc_step_2d(src, dst, w, chunk_tile, tile_mask, xw, acc,
-                 n_rows: int, interpret: bool = False, masked: bool = True):
+                 n_rows: int, interpret: bool = False, masked: bool = True,
+                 tile_r: int = 128):
     """One (part, block) cell: gather from the block workspace, Pallas MXU
     segment reduce, select away unvisited tiles, accumulate.
 
@@ -627,11 +644,45 @@ def _ooc_step_2d(src, dst, w, chunk_tile, tile_mask, xw, acc,
     hi = msgs.astype(jnp.bfloat16)
     lo = None if single else (msgs - hi.astype(jnp.float32)).astype(jnp.bfloat16)
     out = _segment_reduce_mxu(
-        hi, lo, dst, chunk_tile, num_nodes=n_rows, interpret=interpret
+        hi, lo, dst, chunk_tile, num_nodes=n_rows, interpret=interpret,
+        tile_r=tile_r,
     )
     out = out[:, :d]
     if masked:
-        rows = jnp.repeat(tile_mask.astype(jnp.bool_), TILE_R)
+        rows = jnp.repeat(tile_mask.astype(jnp.bool_), tile_r)
+        # select, never multiply: unvisited tiles are uninitialized memory
+        out = jnp.where(rows[:, None], out, 0.0)
+    return acc + out
+
+
+@functools.partial(
+    jax.jit, static_argnames=("n_rows", "interpret", "tile_r")
+)
+def _ooc_cell_2d(src, dst, w, chunk_tile, xw,
+                 n_rows: int, interpret: bool = False, tile_r: int = 128):
+    """Gather + Pallas reduce ONLY — the raw (n_rows, d_pad) kernel output
+    leaves this jit untouched (no mask, no accumulate, no column slice),
+    keeping the gather → hi/lo-write pipeline fusion intact.  Used by
+    ``step_mode="split"``; the accumulate runs in :func:`_ooc_acc_2d`."""
+    d = xw.shape[1]
+    d_pad = _round_up(d, 128)
+    xp = xw if d_pad == d else jnp.pad(xw, ((0, 0), (0, d_pad - d)))
+    single = xw.dtype == jnp.bfloat16
+    msgs = jnp.take(xp, src, axis=0).astype(jnp.float32) * w[:, None]
+    hi = msgs.astype(jnp.bfloat16)
+    lo = None if single else (msgs - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    return _segment_reduce_mxu(
+        hi, lo, dst, chunk_tile, num_nodes=n_rows, interpret=interpret,
+        tile_r=tile_r,
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("masked", "tile_r"))
+def _ooc_acc_2d(acc, out, tile_mask, masked: bool = True, tile_r: int = 128):
+    """Accumulate one cell's kernel output (separate dispatch from the
+    gather jit — see :func:`_ooc_cell_2d`).  ``acc`` is (n_rows, d_pad)."""
+    if masked:
+        rows = jnp.repeat(tile_mask.astype(jnp.bool_), tile_r)
         # select, never multiply: unvisited tiles are uninitialized memory
         out = jnp.where(rows[:, None], out, 0.0)
     return acc + out
@@ -645,6 +696,7 @@ def spmm_out_of_core_2d(
     max_device_edge_bytes: int = 4 << 30,
     max_device_acc_bytes: int = 2 << 30,
     null_transfer: bool = False,
+    step_mode: str = "fused",
 ) -> np.ndarray:
     """``y = adj @ x`` via the 2-D layout: block workspaces are contiguous
     slices of ``x`` (no host gather), each uploaded once per accumulator
@@ -657,14 +709,28 @@ def spmm_out_of_core_2d(
     indices stay real; workspace content does not affect timing) with the
     H2D block uploads and D2H readbacks skipped.  The returned array is
     NOT the SpMM result in this mode.
+
+    ``step_mode`` selects the per-cell dispatch structure:
+
+    * ``"fused"`` — one jit per cell (gather → kernel → mask → acc add);
+      the accumulate consumes the Pallas output inside the same program,
+      which is the measured XLA gather de-fusion hazard (CLAUDE.md);
+    * ``"split"`` — the gather+kernel jit returns the raw (n_rows, d_pad)
+      output and a second tiny jit does mask+accumulate, keeping the
+      gather pipeline fusion clean at the cost of one extra dispatch and
+      an HBM round-trip of the cell output.
     """
     x_host = np.ascontiguousarray(x_host)
     d = x_host.shape[1]
+    if step_mode not in ("fused", "split"):
+        raise ValueError(f"step_mode must be 'fused' or 'split': {step_mode}")
+    split = step_mode == "split"
+    d_acc = _round_up(d, 128) if split else d
     if out is None:
         out = np.zeros((oc.num_nodes, d), x_host.dtype)
     else:
         out[:] = 0
-    acc_bytes = oc.n_rows * d * 4
+    acc_bytes = oc.n_rows * d_acc * 4
     group = max(int(max_device_acc_bytes // max(acc_bytes, 1)), 1)
     # byte-budget edge cache (cell sizes vary by size class): evict from
     # the most recent insertions until under THIS call's budget
@@ -698,7 +764,7 @@ def spmm_out_of_core_2d(
     last_acc = None
     for g_lo in range(0, oc.num_parts, group):
         g = range(g_lo, min(g_lo + group, oc.num_parts))
-        accs = {p: jnp.zeros((oc.n_rows, d), jnp.float32) for p in g}
+        accs = {p: jnp.zeros((oc.n_rows, d_acc), jnp.float32) for p in g}
         for b in range(oc.num_blocks):
             if null_transfer:
                 xw_dev = ws_shared
@@ -726,17 +792,28 @@ def spmm_out_of_core_2d(
                         cached_bytes += nb
                 if xw_dev is None:
                     xw_dev = jnp.asarray(xw)
-                accs[p] = _ooc_step_2d(
-                    *edges, xw_dev, accs[p], n_rows=oc.n_rows,
-                    interpret=interpret,
-                    masked=not bool(s.tile_mask.all()),
-                )
+                masked = not bool(s.tile_mask.all())
+                if split:
+                    cell = _ooc_cell_2d(
+                        *edges[:4], xw_dev, n_rows=oc.n_rows,
+                        interpret=interpret, tile_r=oc.tile_rows,
+                    )
+                    accs[p] = _ooc_acc_2d(
+                        accs[p], cell, edges[4], masked=masked,
+                        tile_r=oc.tile_rows,
+                    )
+                else:
+                    accs[p] = _ooc_step_2d(
+                        *edges, xw_dev, accs[p], n_rows=oc.n_rows,
+                        interpret=interpret, masked=masked,
+                        tile_r=oc.tile_rows,
+                    )
         if null_transfer:
             last_acc = accs[max(g)]
             continue  # no readback in measurement mode
         for p in g:
             off, valid = oc.row_offsets[p], oc.valid_rows[p]
-            dev = accs[p][:valid]
+            dev = accs[p][:valid, :d]
             if out.dtype != np.float32:
                 # cast ON DEVICE: a bf16 output halves the D2H leg too
                 # (the accumulators stay f32 through the adds)

@@ -407,10 +407,13 @@ def _scipy_of(adj):
 
 
 @pytest.mark.parametrize("src_blocks,part_edges", [(1, 8 * 128), (4, 4 * 128), (8, 2 * 128)])
-def test_out_of_core_2d_allclose(src_blocks, part_edges):
+@pytest.mark.parametrize("step_mode", ["fused", "split"])
+def test_out_of_core_2d_allclose(src_blocks, part_edges, step_mode):
     """2-D (dst-part × src-block) layout == scipy on a power-law graph:
     contiguous block workspaces (no host gather), per-subpart tile masks
-    (empty cells/tiles skipped via select), tiny accumulator groups."""
+    (empty cells/tiles skipped via select), tiny accumulator groups.
+    Both dispatch structures (fused cell step / split gather+accumulate)
+    must agree."""
     from sgl_tpu.datasets.synthetic import random_power_law_graph
     from sgl_tpu.kernels import prepare_out_of_core_2d, spmm_out_of_core_2d
 
@@ -426,10 +429,36 @@ def test_out_of_core_2d_allclose(src_blocks, part_edges):
             s.tile_mask.min() == 0 for row in oc.parts for s in row
         ), "config not adversarial: no empty cells or tiles"
     got = spmm_out_of_core_2d(
-        oc, x, interpret=True, max_device_acc_bytes=oc.n_rows * 6 * 4 * 2
+        oc, x, interpret=True, max_device_acc_bytes=oc.n_rows * 6 * 4 * 2,
+        step_mode=step_mode,
     )
     assert np.isfinite(got).all()
     np.testing.assert_allclose(got, _scipy_of(adj) @ x, rtol=1e-4, atol=1e-5)
+
+
+@pytest.mark.parametrize("tile_rows", [256, 512])
+def test_out_of_core_2d_wide_tile_rows_allclose(tile_rows):
+    """Multi-tile output blocks in the 2-D layout (round-5: the in-HBM
+    (tile_rows, chunk) lever applied to the OOC cells) == scipy, in both
+    step modes, with the layout's row bookkeeping in tile_rows units."""
+    from sgl_tpu.datasets.synthetic import random_power_law_graph
+    from sgl_tpu.kernels import prepare_out_of_core_2d, spmm_out_of_core_2d
+
+    g = random_power_law_graph(3_000, 4, 6, seed=17, alpha=1.4,
+                               pad_multiple=1024)
+    adj = symmetric_normalized_weights(g)
+    x = np.asarray(g.x)
+    oc = prepare_out_of_core_2d(
+        adj, max_edges_per_part=4 * 128, src_blocks=4, chunk=128,
+        tile_rows=tile_rows,
+    )
+    assert oc.tile_rows == tile_rows
+    assert oc.n_rows % tile_rows == 0
+    want = _scipy_of(adj) @ x
+    for mode in ("fused", "split"):
+        got = spmm_out_of_core_2d(oc, x, interpret=True, step_mode=mode)
+        assert np.isfinite(got).all()
+        np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
 
 
 def test_out_of_core_2d_bf16_and_no_diag():
