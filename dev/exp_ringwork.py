@@ -12,7 +12,8 @@ or is the bottleneck.
 
 Run on the TPU (default env, nothing else running):
 
-    python dev/exp_ringwork.py
+    python dev/exp_ringwork.py             # P=8,16 A/B + measured-picker check
+    python dev/exp_ringwork.py --p 32      # pod-scale rows: A/B at P=32
 """
 
 import os
@@ -136,6 +137,30 @@ def main(n=100_000, avg_deg=25, d=128, plist=(8, 16)):
             )
         log(f"P={p} measured speedup new/old: {vals[0]/vals[1]:.2f}x")
 
+        # VERDICT r4 #3: the measured picker must land on this A/B's
+        # winner (it runs the same bucket-chain slope timing internally,
+        # so agreement here certifies the production path end to end —
+        # no hand margin involved)
+        with warnings.catch_warnings():
+            warnings.simplefilter("ignore")
+            d_meas = partition_adj_chunked(adj, p, feat_dim=d, measure=True)
+        winner = min(best, key=best.get)
+        picked = f"(R={d_meas.tile_rows}, e_b={d_meas.w.shape[-1]})"
+        ab_cfg = {
+            name: dd.tile_rows for name, dd in layouts.items()
+        }
+        agree = d_meas.tile_rows == layouts[winner].tile_rows
+        log(
+            f"P={p} measured picker chose {picked}; A/B winner {winner} "
+            f"-> {'AGREE' if agree else 'DISAGREE'} "
+            f"(A/B tile_rows: {ab_cfg})"
+        )
+
 
 if __name__ == "__main__":
-    main()
+    plist = (8, 16)
+    if "--p" in sys.argv:
+        plist = tuple(
+            int(v) for v in sys.argv[sys.argv.index("--p") + 1:] if v.isdigit()
+        )
+    main(plist=plist)

@@ -65,6 +65,102 @@ def ring_padding_stats(dadj) -> dict:
     }
 
 
+def ring_bucket_work_time(
+    dadj,
+    feat_dim: int = 128,
+    dtype=jnp.float32,
+    interpret: bool = False,
+    rounds: int = 3,
+    iters: int = 2,
+    chain=(2, 6),
+) -> float:
+    """Measure one hop of PER-DEVICE bucket work (s/hop) for a chunked ring
+    layout on the current default device.
+
+    Times the full per-bucket pipeline — block gather → weighted hi/lo
+    messages → one-hot MXU reduce — chained loop-carried over all P²
+    buckets, exactly the per-hop compute each pod device does (the
+    ppermute overlaps it and is layout-invariant, so bucket work is the
+    quantity that discriminates layouts).  Slope timing between a
+    ``chain[0]``- and ``chain[1]``-hop program cancels the fixed
+    dispatch+readback cost (~31 ms on the tunneled dev chip); the
+    interleaved-min protocol over ``rounds`` is chip-noise-robust
+    (dev/exp_spmm.py's method).  Feature content does not affect timing;
+    synthetic rows are generated at ``feat_dim``/``dtype``.
+    """
+    import time as _time
+
+    from sgl_tpu.kernels.pallas_spmm import _segment_reduce_mxu
+
+    p = dadj.num_partitions
+    # the kernel operates on lane-padded widths; generate at d_pad (what
+    # the production pipeline feeds it for this feat_dim)
+    d = _round_up(max(int(feat_dim), 1), 128)
+    e_b = dadj.src.shape[-1]
+    c_max = dadj.chunk_tile.shape[-1]
+    src = dadj.src.reshape(p * p, e_b)
+    dst = dadj.dst.reshape(p * p, e_b)
+    w = dadj.w.reshape(p * p, e_b)
+    ct = dadj.chunk_tile.reshape(p * p, c_max)
+    block = dadj.block
+    tile_r = dadj.tile_rows
+    single = jnp.dtype(dtype) == jnp.bfloat16
+    owner_block = jnp.arange(p * p, dtype=jnp.int32) % p
+    x = jnp.asarray(
+        np.random.default_rng(0).standard_normal((p * block, d)), dtype
+    ).reshape(p, block, d)
+
+    def make(k):
+        def run(xp):
+            def hop(carry, _):
+                def bkt(acc, i):
+                    xb = jnp.take(xp, owner_block[i], axis=0) + carry * 0
+                    msgs = (
+                        jnp.take(xb, src[i], axis=0).astype(jnp.float32)
+                        * w[i][:, None]
+                    )
+                    hi = msgs.astype(jnp.bfloat16)
+                    lo = (
+                        None
+                        if single
+                        else (msgs - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+                    )
+                    out = _segment_reduce_mxu(
+                        hi, lo, dst[i], ct[i], num_nodes=block,
+                        tile_r=tile_r, interpret=interpret,
+                    )
+                    return acc + out[0, 0], None
+
+                acc, _ = jax.lax.scan(
+                    bkt, jnp.float32(0), jnp.arange(p * p, dtype=jnp.int32)
+                )
+                return acc * 1e-20, None
+
+            acc, _ = jax.lax.scan(hop, jnp.float32(0), None, length=k)
+            return acc
+
+        return jax.jit(run)
+
+    k1, k2 = chain
+    fns = {k: make(k) for k in (k1, k2)}
+
+    def timed(fn):
+        float(fn(x))  # compile + warm
+        ts = []
+        for _ in range(iters):
+            t0 = _time.perf_counter()
+            float(fn(x))
+            ts.append(_time.perf_counter() - t0)
+        return min(ts)
+
+    best = np.inf
+    for _ in range(rounds):
+        t1 = timed(fns[k1])
+        t2 = timed(fns[k2])
+        best = min(best, (t2 - t1) / (k2 - k1))
+    return float(best)
+
+
 _PADDING_WARN_RATIO = 2.0
 
 
@@ -292,6 +388,7 @@ def partition_adj_chunked(
     shuffle_seed: int = 0,
     skip_empty_tiles: bool = False,
     feat_dim: Optional[int] = None,
+    measure: bool | str = False,
 ) -> DistChunkedAdj:
     """Host-side partition into per-(owner, source-block) Pallas chunk
     layouts.  ``block`` is rounded up to the kernel's output-block height.
@@ -320,6 +417,17 @@ def partition_adj_chunked(
     densest bucket, which always has full tile coverage on power-law
     graphs — hence the default is off (multi-tile output blocks above are
     the fix that works).
+
+    ``measure`` replaces the cost model's hand margin with measurement
+    (VERDICT r4 #3): when the RAW model (no margin) prefers a wide-block
+    layout over the best 128-row one, BOTH candidates are built and their
+    real per-device bucket work is timed on the current device
+    (:func:`ring_bucket_work_time` — seconds), and the measured winner is
+    returned.  ``True`` forces it; ``"auto"`` measures only when the
+    default backend is an accelerator (CPU builds keep the model + 45%
+    margin, whose calibrated error bars the margin encodes).  When the
+    raw model already prefers 128-row blocks the measurement is skipped —
+    the margin only ever affects wide-vs-128 decisions.
     """
     from sgl_tpu.kernels.pallas_spmm import CHUNK, TILE_R, split_extras
 
@@ -415,7 +523,7 @@ def partition_adj_chunked(
     # honored (an infeasible pin then fails with the compiler's own
     # resource error at the pinned shape, not an opaque TypeError here).
     fallback = (min(r_cands), min(chunk_cands))
-    best = None
+    cands = []
     for r in r_cands:
         blk_r, *_rest, cnt_r = _bucket_counts(r)
         for c in chunk_cands:
@@ -429,19 +537,62 @@ def partition_adj_chunked(
             # output rows (the wider one-hot), +270 ns per CHUNK (grid
             # step + dst-block DMA overhead — why minimum-padding tiny
             # chunks lose in real time despite fewer slots)
-            cost = s * (2.9 + 0.33 * (r / 128) + 270.0 / c)
-            # wide blocks must EARN a 45% modeled margin: the end-to-end
-            # bucket-chain A/B (dev/exp_ringwork.py) shows the fit's
-            # error bars — at P=8 a modeled 1.39x win MEASURED 0.94x
-            # (loss) while at P=16 a modeled 1.50x measured 1.22x (win).
-            # The margin keeps small-P layouts on the safe 128-row block
-            # and still lets coverage-floor-dominated large-P layouts
-            # (modeled >=1.8x) take wide blocks
-            if r != 128:
-                cost *= 1.45
-            if best is None or cost < best[0]:
-                best = (cost, r, c)
-    _, tile_r, chunk = best
+            cands.append((s * (2.9 + 0.33 * (r / 128) + 270.0 / c), r, c))
+
+    meas = measure
+    if meas == "auto":
+        meas = jax.default_backend() != "cpu"
+    if meas and tile_rows is None:
+        best128 = min((t for t in cands if t[1] == 128), default=None)
+        bestwide = min((t for t in cands if t[1] != 128), default=None)
+        if (
+            best128 is not None
+            and bestwide is not None
+            and bestwide[0] < best128[0]
+        ):
+            # the raw model prefers a wide block — settle it by measuring
+            # the real per-device bucket work of both candidates (the
+            # model's ranking error at small P is what the hand margin
+            # below papers over; measurement removes the margin)
+            kw = dict(
+                split_diag=split_diag, hub_k=hub_k,
+                max_hub_bytes=max_hub_bytes, shuffle=shuffle,
+                shuffle_seed=shuffle_seed,
+                skip_empty_tiles=skip_empty_tiles, feat_dim=feat_dim,
+            )
+            d_m = int(feat_dim or 128)
+            interp = jax.default_backend() == "cpu"
+            picked = None
+            with warnings.catch_warnings():
+                warnings.simplefilter("ignore")  # one padding report at the end
+                for _, r_c, c_c in (best128, bestwide):
+                    cand = partition_adj_chunked(
+                        adj, p, tile_rows=r_c, chunk=c_c, **kw
+                    )
+                    t_c = ring_bucket_work_time(cand, d_m, interpret=interp)
+                    logger.info(
+                        "measured pick: (tile_rows=%d, chunk=%d) -> %.2f ms "
+                        "bucket work/hop", r_c, c_c, t_c * 1e3,
+                    )
+                    if picked is None or t_c < picked[0]:
+                        picked = (t_c, cand)
+            out = picked[1]
+            _report_padding(out, "chunked")
+            return out
+
+    def _margined(t):
+        # wide blocks must EARN a 45% modeled margin: the end-to-end
+        # bucket-chain A/B (dev/exp_ringwork.py) shows the fit's
+        # error bars — at P=8 a modeled 1.39x win MEASURED 0.94x
+        # (loss) while at P=16 a modeled 1.50x measured 1.22x (win).
+        # The margin keeps small-P layouts on the safe 128-row block
+        # and still lets coverage-floor-dominated large-P layouts
+        # (modeled >=1.8x) take wide blocks.  ``measure`` above replaces
+        # this margin with a real A/B.
+        cost, r, _ = t
+        return cost * 1.45 if r != 128 else cost
+
+    _, tile_r, chunk = min(cands, key=_margined)
     block, owner, sblk, l_dst, counts = _bucket_counts(tile_r)
     tiles = block // tile_r
     n_pad = block * p

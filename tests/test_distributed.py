@@ -520,3 +520,30 @@ def test_two_process_cluster():
     for i, (p, out) in enumerate(zip(procs, outs)):
         assert p.returncode == 0, f"proc {i} failed:\n{out}"
         assert "MP_WORKER_OK" in out, f"proc {i} no OK marker:\n{out}"
+
+
+def test_partition_chunked_measured_pick(caplog):
+    """VERDICT r4 #3: ``measure=True`` replaces the cost model's 45% hand
+    margin with a real A/B — when the raw model prefers a wide block, BOTH
+    top candidates are built and their bucket work is timed, and the
+    measured winner is returned.  The adversarial power-law config below
+    makes the raw model prefer wide blocks, so the A/B branch runs (both
+    'measured pick' lines in the log); the returned layout must still
+    propagate correctly."""
+    import logging
+
+    from sgl_tpu.datasets.synthetic import random_power_law_graph
+    from sgl_tpu.parallel import partition_adj_chunked
+
+    g = random_power_law_graph(4096, 6, 8, seed=0, alpha=1.1)
+    adj = symmetric_normalized_weights(g)
+    with caplog.at_level(logging.INFO, logger="sgl_tpu.parallel.spmm_dist"):
+        dadj = partition_adj_chunked(adj, 8, feat_dim=8, measure=True)
+    picks = [r for r in caplog.records if "measured pick" in r.getMessage()]
+    assert len(picks) == 2, "A/B branch must have timed both candidates"
+    mesh = make_mesh((1, 8))
+    got = np.asarray(
+        k_hop_propagate_dist(mesh, dadj, g.x, prop_steps=1, interpret=True)
+    )
+    want = np.asarray(k_hop_propagate(adj, jnp.asarray(g.x), 1))
+    np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-5)
