@@ -113,7 +113,7 @@ def main(n=2_400_000, avg_deg=25, d=100, part_edges=6 << 20):
 
 
 def main_2d(n=2_400_000, avg_deg=25, d=100, part_edges=6 << 20,
-            src_blocks=8, hops=3):
+            src_blocks="auto", hops=3):
     """REAL end-to-end hops through the 2-D layout (its per-hop traffic is
     one feature volume per accumulator group, so unlike the 1-D layout it
     is measurable through the dev tunnel, not just projectable)."""
@@ -125,7 +125,8 @@ def main_2d(n=2_400_000, avg_deg=25, d=100, part_edges=6 << 20,
     g = random_power_law_graph(n, avg_deg, d, seed=0, pad_multiple=1 << 20)
     adj = symmetric_normalized_weights_host(g)
     oc = prepare_out_of_core_2d(
-        adj, max_edges_per_part=part_edges, src_blocks=src_blocks
+        adj, max_edges_per_part=part_edges, src_blocks=src_blocks,
+        feat_dim=d,
     )
     x = np.asarray(g.x)
     nnz = int(np.sum(np.asarray(adj.w) != 0))
@@ -153,7 +154,7 @@ def main_2d(n=2_400_000, avg_deg=25, d=100, part_edges=6 << 20,
 
 
 def main_2d_null(n=2_400_000, avg_deg=25, d=100, part_edges=6 << 20,
-                 src_blocks=8, hops=4, cache_dir="./data/ooc2d_cache"):
+                 src_blocks="auto", hops=4, cache_dir="./data/ooc2d_cache"):
     """2-D compute-only control (VERDICT r3 #5): the identical per-cell
     step chain with H2D/D2H skipped bounds the 2-D path's non-transfer
     overhead the way round 3 bounded the 1-D path at 0.574 s/hop.  Also
@@ -169,13 +170,13 @@ def main_2d_null(n=2_400_000, avg_deg=25, d=100, part_edges=6 << 20,
     t0 = time.time()
     oc = prepare_out_of_core_2d(
         adj, max_edges_per_part=part_edges, src_blocks=src_blocks,
-        cache_dir=cache_dir,
+        feat_dim=d, cache_dir=cache_dir,
     )
     t_cold = time.time() - t0
     t0 = time.time()
     oc = prepare_out_of_core_2d(
         adj, max_edges_per_part=part_edges, src_blocks=src_blocks,
-        cache_dir=cache_dir,
+        feat_dim=d, cache_dir=cache_dir,
     )
     t_warm = time.time() - t0
     x = np.asarray(g.x)

@@ -276,14 +276,102 @@ class OutOfCoreAdj2D:
         )
 
 
+#: Gather-source operand budget (bytes).  Measured on v5e
+#: (dev/exp_gather_cliff.py): the XLA row gather runs at 3.5-4.1 ns/row
+#: while the source array is <=102 MB and ~12 ns/row from >=118 MB —
+#: a byte threshold (f32 and bf16 alike, index-distribution-independent)
+#: consistent with the operand being staged in the 128 MiB VMEM.  Block
+#: workspaces are sized under this so message production stays on the
+#: fast side of the cliff.
+GATHER_OPERAND_BUDGET = 100 << 20
+
+
+def _auto_src_blocks(n: int, feat_dim: int, feat_dtype) -> int:
+    d_pad = _round_up(max(int(feat_dim), 1), 128)
+    item = np.dtype(feat_dtype).itemsize
+    rows = max(
+        (GATHER_OPERAND_BUDGET // (d_pad * item)) // TILE_R * TILE_R, TILE_R
+    )
+    return max(-(-n // rows), 1)
+
+
+def _count_cell_slots(src, dst, n, k, sb, max_edges_per_part, chunk, tr):
+    """Padded slot total of the 2-D layout at (chunk, tile_rows) — pure
+    bincounts mirroring the build below (incl. the per-cell power-of-two
+    size-class rounding), no edge arrays materialized."""
+    n_tiles_total = _round_up(n, tr) // tr
+    tile_of = dst // tr
+    tile_counts = np.bincount(tile_of, minlength=n_tiles_total)
+    cum = np.cumsum(tile_counts)
+    n_parts = max(-(-int(cum[-1]) // max_edges_per_part), 1)
+    targets = np.linspace(0, cum[-1], n_parts + 1)[1:-1]
+    bounds = sorted(set([0] + np.searchsorted(cum, targets).tolist()
+                        + [n_tiles_total]))
+    n_parts = len(bounds) - 1
+    n_tiles = max(hi - lo for lo, hi in zip(bounds[:-1], bounds[1:]))
+    part_of = np.searchsorted(np.asarray(bounds[1:]), tile_of, side="right")
+    t_lo = np.asarray(bounds[:-1])
+    loc_tile = tile_of - t_lo[part_of]
+    flat = (part_of * k + src // sb) * n_tiles + loc_tile
+    cnt = np.bincount(flat, minlength=n_parts * k * n_tiles).reshape(
+        n_parts * k, n_tiles
+    )
+    padded = np.where(cnt > 0, _round_up_arr(cnt, chunk), 0)
+    cell_sums = padded.sum(axis=1)
+    slots = 0
+    for s in cell_sums:
+        if s:
+            c_cell = 1 << (max(int(s) // chunk, 1) - 1).bit_length()
+            slots += c_cell * chunk
+    return slots
+
+
+def _pick_cell_layout(src, dst, n, k, max_edges_per_part, chunk_cands,
+                      tr_cands):
+    """Joint (chunk, tile_rows) pick for the 2-D cells by the measured
+    per-slot model: slots × (0.33 ns per 128 output rows + 270 ns per
+    chunk + regime-constant gather/kernel base).  The base term is
+    layout-invariant at fixed ``src_blocks`` so it drops out of the
+    ranking; the padded slot counts carry the whole layout dependence."""
+    best = None
+    for tr in tr_cands:
+        for c in chunk_cands:
+            slots = _count_cell_slots(
+                src, dst, n, k, _round_up(-(-n // k), TILE_R),
+                max_edges_per_part, c, tr,
+            )
+            cost = slots * (5.2 + 0.33 * (tr / 128) + 270.0 / c)
+            if best is None or cost < best[0]:
+                best = (cost, c, tr)
+    _, chunk, tile_rows = best
+    logger.info(
+        "2-D out-of-core model pick: chunk=%d tile_rows=%d", chunk, tile_rows
+    )
+    return chunk, tile_rows
+
+
+def _round_up_arr(a, m):
+    return ((a + m - 1) // m) * m
+
+
+def _pad_cols(xw, d_pad):
+    """Eager on-device column pad to the lane width (once per block
+    upload; the cell jits then see ``d == d_pad`` and skip their pad)."""
+    if xw.shape[1] == d_pad:
+        return xw
+    return jnp.pad(xw, ((0, 0), (0, d_pad - xw.shape[1])))
+
+
 def prepare_out_of_core_2d(
     adj,
     max_edges_per_part: int = 6 << 20,
-    src_blocks: int = 8,
+    src_blocks="auto",
     *,
     split_diag: bool = True,
     chunk: Optional[int] = None,
-    tile_rows: int = 128,
+    tile_rows: Optional[int] = None,
+    feat_dim: int = 128,
+    feat_dtype=np.float32,
     strict: bool = False,
     cache_dir: Optional[str] = None,
 ) -> OutOfCoreAdj2D:
@@ -295,22 +383,30 @@ def prepare_out_of_core_2d(
     arrays and every layout parameter.
 
     ``src_blocks`` sets the column-block count: block workspaces are
-    ``ceil(n/src_blocks)`` rows, so pick it to fit
-    ``block_rows × d × itemsize`` (plus one subpart's message buffers)
-    in device memory.  Empty (part, block) cells cost nothing — their
-    dispatch is skipped; partially-empty cells skip their untouched
-    tiles via a per-subpart tile mask (a ``jnp.where`` select, never
-    arithmetic on uninitialized memory).
+    ``ceil(n/src_blocks)`` rows.  The default ``"auto"`` sizes blocks to
+    keep the per-cell gather operand under :data:`GATHER_OPERAND_BUDGET`
+    (the measured v5e gather-rate cliff, ~3x the per-row rate above it —
+    the round-5 finding that flipped the 2-D path from compute- to
+    transfer-bound) using ``feat_dim``/``feat_dtype``, the width and
+    dtype the features will have at :func:`spmm_out_of_core_2d` time.
+    Empty (part, block) cells cost nothing — their dispatch is skipped;
+    partially-empty cells skip their untouched tiles via a per-subpart
+    tile mask (a ``jnp.where`` select, never arithmetic on uninitialized
+    memory).
 
     ``strict=True`` raises at build time when the densest cell's message
     buffers could exceed HBM (default: warn) — the failure would otherwise
     surface as a RESOURCE_EXHAUSTED far from its cause.
 
-    ``chunk`` defaults to 128 here (not the single-chip 512): splitting
-    each part's tiles across ``src_blocks`` gathers multiplies the
-    per-tile round-up waste, and the measured products-config sweep
-    (chunk 512/256/128 → 2.99/2.28/2.01 s/hop compute-only, padding
-    2.67x/2.03x/1.72x) shows the smaller chunk wins."""
+    ``chunk`` / ``tile_rows``: ``None`` picks both jointly by the
+    measured per-slot cost model over the cell slot counts (gather-rate
+    regime + 0.33 ns per 128 output rows + 270 ns per chunk — the same
+    constants as the ring layout's picker, with the gather term from the
+    cliff measurement); explicit values pin them.  The pre-round-5
+    measured sweep (k=8, above-cliff gather: chunk 512/256/128 →
+    2.99/2.28/2.01 s/hop) is superseded — under the cliff the chunk
+    overhead term outweighs the padding it saves, and the model prices
+    that correctly."""
     if isinstance(adj, SparseAdj):
         src, dst, w, n = adj.src, adj.dst, adj.w, adj.num_nodes
     else:
@@ -321,12 +417,29 @@ def prepare_out_of_core_2d(
     keep = w != 0
     src, dst, w = src[keep], dst[keep], w[keep]
 
+    # src_blocks resolution is cheap and deterministic — the resolved int
+    # goes into the legacy cache key; only a model-picked chunk/tile_rows
+    # needs the request-keyed cache (the pick itself costs bincount sweeps)
+    auto_layout = chunk is None or tile_rows is None
+    if src_blocks == "auto":
+        src_blocks = _auto_src_blocks(n, feat_dim, feat_dtype)
+
     cache_path = None
     if cache_dir is not None:
         os.makedirs(cache_dir, exist_ok=True)
         cache_path = _layout_cache_path(
             cache_dir, src, dst, w, n, max_edges_per_part, src_blocks,
-            split_diag, chunk or 128, tile_rows,
+            split_diag, chunk or 128, tile_rows or 128,
+            # auto-resolved (chunk, tile_rows) are deterministic in the
+            # content+params already hashed, so keying the REQUEST keeps
+            # warm hits from paying the model pick; explicit pins keep
+            # the legacy key format (existing caches stay valid)
+            auto=(
+                f"|auto{int(feat_dim)}x{np.dtype(feat_dtype).name}"
+                f"|c{chunk}|tr{tile_rows}"
+                if auto_layout
+                else ""
+            ),
         )
         if os.path.exists(cache_path):
             t0 = time.time()
@@ -350,12 +463,17 @@ def prepare_out_of_core_2d(
             np.add.at(diag, dst[loop], w[loop])
             src, dst, w = src[~loop], dst[~loop], w[~loop]
 
-    chunk = chunk or 128
+    k = max(int(src_blocks), 1)
+    sb = _round_up(-(-n // k), TILE_R)
+    if chunk is None or tile_rows is None:
+        chunk, tile_rows = _pick_cell_layout(
+            src, dst, n, k, max_edges_per_part,
+            chunk_cands=(chunk,) if chunk else (128, 256, 512),
+            tr_cands=(tile_rows,) if tile_rows else (128, 256, 512, 1024),
+        )
     tr = int(tile_rows)
     if tr % TILE_R:
         raise ValueError(f"tile_rows must be a multiple of {TILE_R}: {tr}")
-    k = max(int(src_blocks), 1)
-    sb = _round_up(-(-n // k), TILE_R)
 
     # dst parts on output-block boundaries, balanced by edge count
     n_tiles_total = _round_up(n, tr) // tr
@@ -605,9 +723,13 @@ def load_out_of_core_2d(path) -> OutOfCoreAdj2D:
 
 
 def _layout_cache_path(cache_dir, src, dst, w, n, max_edges_per_part,
-                       src_blocks, split_diag, chunk, tile_rows=128):
+                       src_blocks, split_diag, chunk, tile_rows=128,
+                       auto=""):
     """Content-keyed cache path: the key hashes the full edge arrays plus
-    every layout parameter, so a changed graph or config never aliases."""
+    every layout parameter, so a changed graph or config never aliases.
+    ``auto`` (non-empty when chunk/tile_rows are model-picked) keys the
+    REQUEST instead of the resolution — the pick is deterministic in the
+    hashed content, and warm hits skip its bincount sweeps."""
     import hashlib
 
     h = hashlib.sha1()
@@ -617,6 +739,7 @@ def _layout_cache_path(cache_dir, src, dst, w, n, max_edges_per_part,
             f"{src.shape[0]}"
             # default stays byte-compatible with pre-round-5 cache keys
             + (f"|tr{tile_rows}" if tile_rows != 128 else "")
+            + auto
         ).encode()
     )
     for a in (src, dst, w):
@@ -725,7 +848,12 @@ def spmm_out_of_core_2d(
     if step_mode not in ("fused", "split"):
         raise ValueError(f"step_mode must be 'fused' or 'split': {step_mode}")
     split = step_mode == "split"
-    d_acc = _round_up(d, 128) if split else d
+    # accumulators stay lane-padded: block workspaces are column-padded
+    # ONCE per upload (below) rather than inside every cell jit — the
+    # in-jit pad materialized a padded copy per CELL (7x redundant per
+    # block at the products config), pure HBM bandwidth waste
+    d_pad = _round_up(d, 128)
+    d_acc = d_pad
     if out is None:
         out = np.zeros((oc.num_nodes, d), x_host.dtype)
     else:
@@ -759,7 +887,7 @@ def spmm_out_of_core_2d(
             xw0 = x_host[:sb]
             if xw0.shape[0] < sb:
                 xw0 = np.pad(xw0, ((0, sb - xw0.shape[0]), (0, 0)))
-            ws_shared = jnp.asarray(xw0)
+            ws_shared = _pad_cols(jnp.asarray(xw0), d_pad)
             oc._dev_ws[key] = ws_shared
     last_acc = None
     for g_lo in range(0, oc.num_parts, group):
@@ -791,7 +919,7 @@ def spmm_out_of_core_2d(
                         oc._dev_edges[key] = edges
                         cached_bytes += nb
                 if xw_dev is None:
-                    xw_dev = jnp.asarray(xw)
+                    xw_dev = _pad_cols(jnp.asarray(xw), d_pad)
                 masked = not bool(s.tile_mask.all())
                 if split:
                     cell = _ooc_cell_2d(

@@ -148,7 +148,7 @@ class GraphOp:
         hop_sink=None,
         interpret: bool = False,
         layout: str = "1d",
-        src_blocks: int = 8,
+        src_blocks="auto",
         layout_cache_dir: Optional[str] = None,
     ):
         """``[X, AX, …]`` for graphs whose features/edges exceed HBM.
@@ -192,6 +192,11 @@ class GraphOp:
                     self.construct_adj(graph),
                     max_edges_per_part=max_edges_per_part,
                     src_blocks=src_blocks,
+                    # size the gather workspaces for the actual features
+                    # (the measured v5e gather-rate cliff is a byte
+                    # threshold — see GATHER_OPERAND_BUDGET)
+                    feat_dim=x_host.shape[1],
+                    feat_dtype=x_host.dtype,
                     cache_dir=layout_cache_dir,
                 )
             else:

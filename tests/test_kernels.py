@@ -422,7 +422,11 @@ def test_out_of_core_2d_allclose(src_blocks, part_edges, step_mode):
     adj = symmetric_normalized_weights(g)
     x = np.asarray(g.x)
     oc = prepare_out_of_core_2d(
-        adj, max_edges_per_part=part_edges, src_blocks=src_blocks, chunk=128
+        # tile_rows pinned at 128: the adversarial premise below (empty
+        # cells/tiles exercising the mask path) needs narrow tiles — the
+        # round-5 model pick chooses wide ones on this tiny graph
+        adj, max_edges_per_part=part_edges, src_blocks=src_blocks, chunk=128,
+        tile_rows=128,
     )
     if src_blocks > 1:
         assert any(s.n_edges == 0 for row in oc.parts for s in row) or any(
@@ -723,3 +727,66 @@ def test_out_of_core_2d_strict_guard_runs_on_cache_hit(tmp_path, monkeypatch):
             adj, max_edges_per_part=4 * 128, src_blocks=4, cache_dir=cd,
             strict=True,
         )
+
+
+def test_out_of_core_2d_auto_layout():
+    """Round 5: src_blocks='auto' sizes block workspaces under the
+    measured gather-rate cliff (GATHER_OPERAND_BUDGET bytes at the
+    feature width/dtype), and chunk/tile_rows default to the model pick.
+    The auto layout must still match scipy."""
+    import scipy.sparse as sp
+
+    from sgl_tpu.datasets.synthetic import random_power_law_graph
+    from sgl_tpu.kernels import prepare_out_of_core_2d, spmm_out_of_core_2d
+    from sgl_tpu.kernels.spmm_ooc import GATHER_OPERAND_BUDGET, _auto_src_blocks
+
+    # sizing math: at d_pad=128 f32 the budget allows 204,800 rows/block
+    # (the resulting 102.4 MB blocks sit just under the measured cliff —
+    # 200,064-row f32 operands probed at 4.10 ns/row)
+    assert _auto_src_blocks(2_400_000, 100, np.float32) == 12
+    assert _auto_src_blocks(2_400_000, 100, "bfloat16") == 6
+    assert _auto_src_blocks(1_000, 128, np.float32) == 1  # under budget
+
+    g = random_power_law_graph(3_000, 4, 6, seed=17, alpha=1.4,
+                               pad_multiple=1024)
+    adj = symmetric_normalized_weights(g)
+    x = np.asarray(g.x)
+    oc = prepare_out_of_core_2d(adj, max_edges_per_part=4 * 128)
+    assert oc.num_blocks == 1  # 3k rows is far under the budget
+    assert oc.block_rows * 128 * 4 <= GATHER_OPERAND_BUDGET
+    got = spmm_out_of_core_2d(oc, x, interpret=True)
+    a = sp.csr_matrix(
+        (np.asarray(adj.w), (np.asarray(adj.dst), np.asarray(adj.src))),
+        shape=(adj.num_nodes, adj.num_nodes),
+    )
+    np.testing.assert_allclose(got, a @ x, rtol=2e-4, atol=2e-5)
+
+
+def test_out_of_core_2d_auto_cache_request_keyed(tmp_path):
+    """The model-picked layout's cache key encodes the REQUEST (auto
+    markers), so a warm hit skips the pick; a pinned build of the same
+    resolved config uses the legacy key and must not alias it."""
+    import os
+
+    from sgl_tpu.datasets.synthetic import random_power_law_graph
+    from sgl_tpu.kernels import prepare_out_of_core_2d
+
+    g = random_power_law_graph(2_000, 4, 6, seed=3, alpha=1.3,
+                               pad_multiple=512)
+    adj = symmetric_normalized_weights(g)
+    cd = str(tmp_path)
+    oc1 = prepare_out_of_core_2d(adj, max_edges_per_part=4 * 128,
+                                 cache_dir=cd)
+    n_entries = len(os.listdir(cd))
+    oc2 = prepare_out_of_core_2d(adj, max_edges_per_part=4 * 128,
+                                 cache_dir=cd)
+    assert len(os.listdir(cd)) == n_entries  # warm hit, no new entry
+    assert oc2.tile_rows == oc1.tile_rows
+    # pinned build of the resolved config: distinct (legacy-format) key
+    oc3 = prepare_out_of_core_2d(
+        adj, max_edges_per_part=4 * 128, src_blocks=oc1.num_blocks,
+        chunk=oc1.parts[0][0].src.shape[0] // oc1.parts[0][0].chunk_tile.shape[0],
+        tile_rows=oc1.tile_rows, cache_dir=cd,
+    )
+    assert len(os.listdir(cd)) == n_entries + 1
+    assert oc3.tile_rows == oc1.tile_rows
