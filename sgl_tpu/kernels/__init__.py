@@ -27,4 +27,5 @@ from sgl_tpu.kernels.spmm_ooc import (  # noqa: E402
     save_out_of_core_2d,
     spmm_out_of_core,
     spmm_out_of_core_2d,
+    spmm_pallas_2d_resident,
 )

@@ -259,6 +259,10 @@ class OutOfCoreAdj2D:
     # null-transfer measurement mode: one shared device workspace per
     # dtype (see spmm_out_of_core_2d(null_transfer=True))
     _dev_ws: dict = dataclasses.field(default_factory=dict, repr=False)
+    # device-resident execution: size-class cell stacks + diag
+    # (see spmm_pallas_2d_resident; separate from _dev_edges, whose
+    # (part, block) keys drive the byte-budget eviction)
+    _dev_stacks: dict = dataclasses.field(default_factory=dict, repr=False)
 
     @property
     def num_parts(self) -> int:
@@ -1104,3 +1108,123 @@ def k_hop_out_of_core(
         else:
             hop_sink(k, cur)
     return hops
+
+
+# ---------------------------------------------------------------------------
+# Device-resident execution of the 2-D layout (in-HBM huge graphs).
+#
+# Round-5 finding (dev/exp_gather_cliff.py): the XLA row gather runs at
+# 3.5-4.1 ns/row while its source operand is under ~100 MB and ~12 ns/row
+# above — so the streaming scan, which gathers from the FULL feature
+# array (1.2 GB at ogbn-products scale), pays the slow rate on every
+# edge.  Executing the 2-D (dst-part x src-block) layout with x resident
+# slices each gather source to one <=100 MB block: same cells as the
+# out-of-core path, no host traffic, one jitted scan per cell size class.
+#
+# This is NOT the round-4-falsified in-HBM 2-D design
+# (dev/exp_spmm2d_layout.py): that moved x blocks through the KERNEL
+# (per-cell block re-DMA + sb-wide one-hot flops).  Here the kernel is
+# unchanged; only the XLA gather's operand shrinks.
+# ---------------------------------------------------------------------------
+
+
+def _class_stacks(oc: OutOfCoreAdj2D):
+    """Non-empty cells grouped by edge-slot class, stacked for lax.scan;
+    device arrays cached on the layout (keyed 'stacks')."""
+    cached = oc._dev_stacks.get("stacks")
+    if cached is not None:
+        return cached
+    groups = {}
+    for p, row in enumerate(oc.parts):
+        for b, s in enumerate(row):
+            if s.n_edges:
+                groups.setdefault(s.src.shape[0], []).append((p, b, s))
+    stacks = []
+    for e_b in sorted(groups, reverse=True):
+        cells = groups[e_b]
+        stacks.append(tuple(
+            jnp.asarray(a)
+            for a in (
+                np.stack([s.src for _, _, s in cells]),
+                np.stack([s.dst for _, _, s in cells]),
+                np.stack([s.w for _, _, s in cells]),
+                np.stack([s.chunk_tile for _, _, s in cells]),
+                np.stack([s.tile_mask for _, _, s in cells]),
+                np.asarray([b for _, b, _ in cells], np.int32),
+                np.asarray([oc.row_offsets[p] for p, _, _ in cells],
+                           np.int32),
+            )
+        ))
+    oc._dev_stacks["stacks"] = stacks
+    return stacks
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("n_rows", "sb", "tile_r", "single", "interpret"),
+)
+def _resident_class_scan(cells, xp, y, n_rows: int, sb: int, tile_r: int,
+                         single: bool, interpret: bool = False):
+    """One scan over a size class's stacked cells: slice the cell's block
+    out of the resident features (gather source <= the operand budget),
+    produce messages, reduce, masked-accumulate into the global rows."""
+    d_pad = xp.shape[1]
+
+    def body(y, cell):
+        src, dst, w, ct, mask, blk, off = cell
+        xb = jax.lax.dynamic_slice(xp, (blk * sb, 0), (sb, d_pad))
+        msgs = jnp.take(xb, src, axis=0).astype(jnp.float32) * w[:, None]
+        hi = msgs.astype(jnp.bfloat16)
+        lo = (
+            None if single
+            else (msgs - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+        )
+        out = _segment_reduce_mxu(
+            hi, lo, dst, ct, num_nodes=n_rows, tile_r=tile_r,
+            interpret=interpret,
+        )
+        # unvisited tiles are uninitialized memory: select, never multiply
+        rows = jnp.repeat(mask.astype(jnp.bool_), tile_r)
+        out = jnp.where(rows[:, None], out, 0.0)
+        cur = jax.lax.dynamic_slice(y, (off, 0), (n_rows, d_pad))
+        return jax.lax.dynamic_update_slice(y, cur + out, (off, 0)), None
+
+    y, _ = jax.lax.scan(body, y, cells)
+    return y
+
+
+def spmm_pallas_2d_resident(
+    oc: OutOfCoreAdj2D, x: jnp.ndarray, interpret: bool = False
+) -> jnp.ndarray:
+    """``y = adj @ x`` with x DEVICE-resident through the 2-D layout: the
+    in-HBM fast path for graphs whose feature matrix exceeds the gather
+    operand budget (see module note above).  Build the layout with
+    ``prepare_out_of_core_2d(..., feat_dim=x.shape[1],
+    feat_dtype=x.dtype)`` so the auto block sizing matches the features
+    actually gathered.  One dispatch per cell size class (3-5), plus one
+    for the diag."""
+    x = jnp.asarray(x)
+    n, d = x.shape
+    d_pad = _round_up(d, 128)
+    sb = oc.block_rows
+    k = oc.num_blocks
+    xp = jnp.pad(x, ((0, k * sb - n), (0, d_pad - d)))
+    tr = oc.tile_rows
+    n_total = _round_up(n, tr) + oc.n_rows
+    y = jnp.zeros((n_total, d_pad), jnp.float32)
+    single = x.dtype == jnp.bfloat16
+    for cells in _class_stacks(oc):
+        y = _resident_class_scan(
+            cells, xp, y, n_rows=oc.n_rows, sb=sb, tile_r=tr,
+            single=single, interpret=interpret,
+        )
+    y = y[:n, :d]
+    if oc.diag is not None:
+        diag = oc._dev_stacks.get("diag")
+        if diag is None:
+            diag = jnp.asarray(oc.diag)
+            oc._dev_stacks["diag"] = diag
+        # separate dispatch: an elementwise f(x) summed with the Pallas
+        # output inside one program is the measured de-fusion hazard
+        y = y + diag[:, None] * x.astype(jnp.float32)
+    return y.astype(x.dtype)

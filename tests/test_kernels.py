@@ -790,3 +790,41 @@ def test_out_of_core_2d_auto_cache_request_keyed(tmp_path):
     )
     assert len(os.listdir(cd)) == n_entries + 1
     assert oc3.tile_rows == oc1.tile_rows
+
+
+@pytest.mark.parametrize("dtype", [np.float32, "bfloat16"])
+def test_spmm_2d_resident_allclose(dtype):
+    """Round 5: device-resident execution of the 2-D layout (the in-HBM
+    gather-cliff fix) must match scipy, for f32 (hi/lo) and bf16
+    (single-pass), including the diag split and multi-block slicing."""
+    import ml_dtypes
+
+    from sgl_tpu.datasets.synthetic import random_power_law_graph
+    from sgl_tpu.kernels import prepare_out_of_core_2d, spmm_pallas_2d_resident
+
+    npdt = np.float32 if dtype is np.float32 else np.dtype(ml_dtypes.bfloat16)
+    g = random_power_law_graph(3_000, 4, 6, seed=17, alpha=1.4,
+                               pad_multiple=1024)
+    adj = symmetric_normalized_weights(g)
+    x = np.asarray(g.x).astype(npdt)
+    # force multiple blocks + narrow tiles so the dynamic-slice path and
+    # the tile masks are both exercised
+    oc = prepare_out_of_core_2d(adj, max_edges_per_part=4 * 128,
+                                src_blocks=4, chunk=128, tile_rows=128)
+    assert oc.diag is not None and oc.num_blocks == 4
+    got = np.asarray(spmm_pallas_2d_resident(oc, jnp.asarray(x),
+                                             interpret=True))
+    a = sp.csr_matrix(
+        (np.asarray(adj.w), (np.asarray(adj.dst), np.asarray(adj.src))),
+        shape=(adj.num_nodes, adj.num_nodes),
+    )
+    want = a @ x.astype(np.float32)
+    tol = dict(rtol=2e-4, atol=2e-5) if dtype is np.float32 else dict(
+        rtol=2e-2, atol=2e-2)
+    np.testing.assert_allclose(np.asarray(got, np.float32), want, **tol)
+    assert got.dtype == x.dtype
+    # second call reuses the cached device stacks
+    got2 = np.asarray(spmm_pallas_2d_resident(oc, jnp.asarray(x),
+                                              interpret=True))
+    np.testing.assert_allclose(np.asarray(got2, np.float32),
+                               np.asarray(got, np.float32), rtol=0, atol=0)
