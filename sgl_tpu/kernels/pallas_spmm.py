@@ -735,6 +735,11 @@ def _streaming_scan(
     d_pad = _round_up(d, 128)
     xp = x if d_pad == d else jnp.pad(x, ((0, 0), (0, d_pad - d)))
     single = x.dtype == jnp.bfloat16  # same dispatch as _spmm_pallas_impl
+    # the f32 upcast of the gather source is MEASURED-kept for bf16 too
+    # (round 5, products config: native-bf16 gather 0.456 s/hop vs 0.420
+    # with the upcast): the gather is transaction-bound and payload-
+    # independent, so halving row bytes saves nothing, while gathering
+    # pre-cast f32 rows saves the per-edge cast on the 6M-row message path
     xp = xp.astype(jnp.float32)
     # the accumulator keeps an n_rows overhang so every part's dynamic
     # window is in-bounds (no start-index clamping double-adds)

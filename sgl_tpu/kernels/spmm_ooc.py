@@ -1115,13 +1115,21 @@ def k_hop_out_of_core(
 #
 # Round-5 finding (dev/exp_gather_cliff.py): the XLA row gather runs at
 # 3.5-4.1 ns/row while its source operand is under ~100 MB and ~12 ns/row
-# above — so the streaming scan, which gathers from the FULL feature
-# array (1.2 GB at ogbn-products scale), pays the slow rate on every
-# edge.  Executing the 2-D (dst-part x src-block) layout with x resident
+# above.  Executing the 2-D (dst-part x src-block) layout with x resident
 # slices each gather source to one <=100 MB block: same cells as the
 # out-of-core path, no host traffic, one jitted scan per cell size class.
 #
-# This is NOT the round-4-falsified in-HBM 2-D design
+# MEASURED OUTCOME (dev/exp_resident2d.py, products config): the
+# streaming scan does NOT pay the above-cliff rate (its full-1.2 GB-
+# operand gather runs at ~4.5 ns/row inside its scan shape), and this
+# executor LOSES to it in-HBM: 0.811 vs 0.452 s/hop f32, 0.535 vs 0.420
+# bf16.  The cliff is real for standalone cell jits (it set the
+# out-of-core compute bound) but does not transfer to the streaming scan.
+# Kept as an opt-in executor: its peak memory is one size class's
+# message buffers (vs one 6M-edge part's), the useful regime when HBM
+# headroom is too tight for streaming but x still fits.
+#
+# This is also NOT the round-4-falsified in-kernel 2-D design
 # (dev/exp_spmm2d_layout.py): that moved x blocks through the KERNEL
 # (per-cell block re-DMA + sb-wide one-hot flops).  Here the kernel is
 # unchanged; only the XLA gather's operand shrinks.
@@ -1196,9 +1204,12 @@ def _resident_class_scan(cells, xp, y, n_rows: int, sb: int, tile_r: int,
 def spmm_pallas_2d_resident(
     oc: OutOfCoreAdj2D, x: jnp.ndarray, interpret: bool = False
 ) -> jnp.ndarray:
-    """``y = adj @ x`` with x DEVICE-resident through the 2-D layout: the
-    in-HBM fast path for graphs whose feature matrix exceeds the gather
-    operand budget (see module note above).  Build the layout with
+    """``y = adj @ x`` with x DEVICE-resident through the 2-D layout.
+
+    Opt-in low-peak-memory executor — measured SLOWER than
+    ``spmm_pallas_streaming`` at the products config (see the section
+    note above); use it when one streaming part's message buffers do not
+    fit HBM but x does.  Build the layout with
     ``prepare_out_of_core_2d(..., feat_dim=x.shape[1],
     feat_dtype=x.dtype)`` so the auto block sizing matches the features
     actually gathered.  One dispatch per cell size class (3-5), plus one
