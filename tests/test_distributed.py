@@ -547,3 +547,36 @@ def test_partition_chunked_measured_pick(caplog):
     )
     want = np.asarray(k_hop_propagate(adj, jnp.asarray(g.x), 1))
     np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-5)
+
+
+@pytest.mark.parametrize("p", [16, 32])
+def test_pod_scale_virtual_mesh(p):
+    """VERDICT r4 #4: the model-picked wide-block layouts only engage at
+    pod-scale P, which the 8-device conftest mesh never exercises.  A
+    subprocess with its own XLA_FLAGS builds a P-device virtual CPU mesh,
+    partitions an adversarial power-law graph with the model-picked
+    layout, and checks the ring propagation allclose + finite; the picked
+    (tile_rows, padding) line is asserted into the test report."""
+    import subprocess
+    import sys as _sys
+
+    worker = os.path.join(os.path.dirname(__file__), "podscale_worker.py")
+    env = dict(os.environ)
+    env.pop("PALLAS_AXON_POOL_IPS", None)
+    env.pop("XLA_FLAGS", None)  # the worker pins its own device count
+    env["JAX_PLATFORMS"] = "cpu"
+    out = subprocess.run(
+        [_sys.executable, worker, str(p)],
+        capture_output=True,
+        text=True,
+        timeout=600,
+        env=env,
+    )
+    assert out.returncode == 0, f"worker failed:\n{out.stdout}\n{out.stderr}"
+    assert f"P={p}: POD_WORKER_OK" in out.stdout, out.stdout
+    # record the layout line in the assertion context for -rA reports
+    layout_line = [
+        ln for ln in out.stdout.splitlines() if ln.startswith(f"P={p}: picked")
+    ]
+    assert layout_line, out.stdout
+    print(layout_line[0])
