@@ -46,7 +46,7 @@ def _gather_kernel(src_ref, x_ref, out_ref, scratch, sems, *, chunk, n_flight):
 
     def issue(i):
         return pltpu.make_async_copy(
-            x_ref.at[src_ref[0, i]], scratch.at[i], sems.at[i % n_flight]
+            x_ref.at[src_ref[0, 0, i]], scratch.at[i], sems.at[i % n_flight]
         )
 
     def body(i, _):
@@ -78,7 +78,9 @@ def gather_dma(src, x, chunk: int, n_flight: int):
         kernel,
         grid=(n_chunks,),
         in_specs=[
-            pl.BlockSpec((1, chunk), lambda c: (c, 0),
+            # (1, 1, chunk): the last two dims must be (equal to the
+            # array dim, divisible by 128) for the SMEM block mapping
+            pl.BlockSpec((1, 1, chunk), lambda c: (c, 0, 0),
                          memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.ANY),  # x stays in HBM
         ],
@@ -88,7 +90,7 @@ def gather_dma(src, x, chunk: int, n_flight: int):
             pltpu.VMEM((chunk, d), jnp.float32),
             pltpu.SemaphoreType.DMA((n_flight,)),
         ],
-    )(src.reshape(n_chunks, chunk), x)
+    )(src.reshape(n_chunks, 1, chunk), x)
 
 
 def main():

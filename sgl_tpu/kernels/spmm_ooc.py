@@ -299,10 +299,10 @@ def _auto_src_blocks(n: int, feat_dim: int, feat_dtype) -> int:
     return max(-(-n // rows), 1)
 
 
-def _count_cell_slots(src, dst, n, k, sb, max_edges_per_part, chunk, tr):
-    """Padded slot total of the 2-D layout at (chunk, tile_rows) — pure
-    bincounts mirroring the build below (incl. the per-cell power-of-two
-    size-class rounding), no edge arrays materialized."""
+def _cell_tile_counts(src, dst, n, k, sb, max_edges_per_part, tr):
+    """Per-(cell, local tile) edge counts of the 2-D layout at tile_rows
+    ``tr`` — the one pass over the edge list the layout pick needs; every
+    chunk candidate reuses it (the part bounds depend only on ``tr``)."""
     n_tiles_total = _round_up(n, tr) // tr
     tile_of = dst // tr
     tile_counts = np.bincount(tile_of, minlength=n_tiles_total)
@@ -317,13 +317,17 @@ def _count_cell_slots(src, dst, n, k, sb, max_edges_per_part, chunk, tr):
     t_lo = np.asarray(bounds[:-1])
     loc_tile = tile_of - t_lo[part_of]
     flat = (part_of * k + src // sb) * n_tiles + loc_tile
-    cnt = np.bincount(flat, minlength=n_parts * k * n_tiles).reshape(
+    return np.bincount(flat, minlength=n_parts * k * n_tiles).reshape(
         n_parts * k, n_tiles
     )
+
+
+def _count_cell_slots(cnt, chunk):
+    """Padded slot total from per-cell tile counts (incl. the per-cell
+    power-of-two size-class rounding), mirroring the build below."""
     padded = np.where(cnt > 0, _round_up_arr(cnt, chunk), 0)
-    cell_sums = padded.sum(axis=1)
     slots = 0
-    for s in cell_sums:
+    for s in padded.sum(axis=1):
         if s:
             c_cell = 1 << (max(int(s) // chunk, 1) - 1).bit_length()
             slots += c_cell * chunk
@@ -336,14 +340,15 @@ def _pick_cell_layout(src, dst, n, k, max_edges_per_part, chunk_cands,
     per-slot model: slots × (0.33 ns per 128 output rows + 270 ns per
     chunk + regime-constant gather/kernel base).  The base term is
     layout-invariant at fixed ``src_blocks`` so it drops out of the
-    ranking; the padded slot counts carry the whole layout dependence."""
+    ranking; the padded slot counts carry the whole layout dependence.
+    One edge-list pass per tile_rows candidate; chunk candidates reuse
+    the per-cell counts."""
+    sb = _round_up(-(-n // k), TILE_R)
     best = None
     for tr in tr_cands:
+        cnt = _cell_tile_counts(src, dst, n, k, sb, max_edges_per_part, tr)
         for c in chunk_cands:
-            slots = _count_cell_slots(
-                src, dst, n, k, _round_up(-(-n // k), TILE_R),
-                max_edges_per_part, c, tr,
-            )
+            slots = _count_cell_slots(cnt, c)
             cost = slots * (5.2 + 0.33 * (tr / 128) + 270.0 / c)
             if best is None or cost < best[0]:
                 best = (cost, c, tr)
