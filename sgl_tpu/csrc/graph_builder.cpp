@@ -126,3 +126,130 @@ void sgl_normalized_weights(const int32_t* src, const int32_t* dst,
 }
 
 }  // extern "C"
+
+extern "C" {
+
+// Pack every 2-D (dst-part x src-block) cell's padded chunk arrays in one
+// parallel pass over cells.  Inputs are the CELL-SORTED edge arrays (dst
+// order preserved within each cell, so each cell's edges arrive tile-
+// ordered); per-cell geometry comes as offset arrays computed by the
+// caller.  Mirrors the numpy packing loop in prepare_out_of_core_2d —
+// one sequential sweep per cell (tile runs, default fills, edge scatter),
+// cells parallel via dynamic scheduling (sizes vary by power-of-two
+// class).
+void sgl_pack_cells_2d(const int32_t* src, const int32_t* dst,
+                       const float* w, const int64_t* cell_starts,
+                       const int64_t* slot_offs, const int64_t* ct_offs,
+                       const int32_t* t_lo_rows, const int32_t* blk_base,
+                       int32_t n_cells, int32_t tr, int32_t chunk,
+                       int32_t n_tiles, int32_t* o_src, int32_t* o_dst,
+                       float* o_w, int32_t* o_ct) {
+#pragma omp parallel for schedule(dynamic)
+  for (int32_t c = 0; c < n_cells; ++c) {
+    const int64_t lo = cell_starts[c], hi = cell_starts[c + 1];
+    const int64_t e_b = slot_offs[c + 1] - slot_offs[c];
+    const int64_t c_cell = ct_offs[c + 1] - ct_offs[c];
+    int32_t* osrc = o_src + slot_offs[c];
+    int32_t* odst = o_dst + slot_offs[c];
+    float* ow = o_w + slot_offs[c];
+    int32_t* oct = o_ct + ct_offs[c];
+    std::memset(osrc, 0, static_cast<size_t>(e_b) * sizeof(int32_t));
+    std::memset(ow, 0, static_cast<size_t>(e_b) * sizeof(float));
+    if (hi <= lo) {  // empty cell: all slots pad against tile 0
+      for (int64_t s = 0; s < c_cell; ++s) oct[s] = 0;
+      std::memset(odst, 0, static_cast<size_t>(e_b) * sizeof(int32_t));
+      continue;
+    }
+    const int32_t base = t_lo_rows[c];
+    const int32_t blk = blk_base[c];
+    std::vector<int64_t> counts(n_tiles, 0);
+    for (int64_t e = lo; e < hi; ++e) {
+      ++counts[(dst[e] - base) / tr];
+    }
+    int64_t off = 0, ct_pos = 0, epos = lo;
+    int32_t last_vis = 0;
+    for (int32_t t = 0; t < n_tiles; ++t) {
+      if (!counts[t]) continue;
+      last_vis = t;
+      const int64_t padded = ((counts[t] + chunk - 1) / chunk) * chunk;
+      for (int64_t j = 0; j < padded / chunk; ++j) oct[ct_pos++] = t;
+      const int32_t row0 = t * tr;
+      for (int64_t s = counts[t]; s < padded; ++s) odst[off + s] = row0;
+      for (int64_t s = 0; s < counts[t]; ++s, ++epos) {
+        osrc[off + s] = src[epos] - blk;
+        odst[off + s] = dst[epos] - base;
+        ow[off + s] = w[epos];
+      }
+      off += padded;
+    }
+    const int32_t pad_row = last_vis * tr;
+    for (; ct_pos < c_cell; ++ct_pos) oct[ct_pos] = last_vis;
+    for (int64_t s = off; s < e_b; ++s) odst[s] = pad_row;
+  }
+}
+
+}  // extern "C"
+
+extern "C" {
+
+// Classify + stable-sort 2-D layout edges in two parallel passes: the
+// cell key (part_of_tile[dst/tr] * k + src/sb) is computed on the fly
+// from the small per-tile part table, so the caller never materializes
+// the per-edge tile/part/block/key arrays numpy needed (~5 full passes
+// over the edge list at papers100M scale).  Emits the cell-sorted
+// (src, dst, dst/tr, w) arrays plus the per-cell histogram.
+void sgl_classify_sort_cells_2d(const int32_t* src, const int32_t* dst,
+                                const float* w, int64_t n, int32_t tr,
+                                int32_t sb, int32_t k,
+                                const int32_t* part_of_tile, int32_t n_keys,
+                                int32_t* o_src, int32_t* o_dst,
+                                int32_t* o_tile, float* o_w,
+                                int64_t* o_cell_counts) {
+  const int n_threads = omp_get_max_threads();
+  const int64_t nk = static_cast<int64_t>(n_keys);
+  std::vector<int64_t> hist(static_cast<size_t>(n_threads) * nk, 0);
+
+#pragma omp parallel
+  {
+    const int t = omp_get_thread_num();
+    int64_t* h = hist.data() + static_cast<int64_t>(t) * nk;
+#pragma omp for schedule(static)
+    for (int64_t e = 0; e < n; ++e) {
+      ++h[part_of_tile[dst[e] / tr] * k + src[e] / sb];
+    }
+  }
+
+  for (int64_t b = 0; b < nk; ++b) {
+    int64_t total = 0;
+    for (int t = 0; t < n_threads; ++t) {
+      total += hist[static_cast<int64_t>(t) * nk + b];
+    }
+    o_cell_counts[b] = total;
+  }
+  int64_t running = 0;
+  for (int64_t b = 0; b < nk; ++b) {
+    for (int t = 0; t < n_threads; ++t) {
+      int64_t& h = hist[static_cast<int64_t>(t) * nk + b];
+      const int64_t count = h;
+      h = running;
+      running += count;
+    }
+  }
+
+#pragma omp parallel
+  {
+    const int t = omp_get_thread_num();
+    int64_t* h = hist.data() + static_cast<int64_t>(t) * nk;
+#pragma omp for schedule(static)
+    for (int64_t e = 0; e < n; ++e) {
+      const int32_t tile = dst[e] / tr;
+      const int64_t pos = h[part_of_tile[tile] * k + src[e] / sb]++;
+      o_src[pos] = src[e];
+      o_dst[pos] = dst[e];
+      o_tile[pos] = tile;
+      o_w[pos] = w[e];
+    }
+  }
+}
+
+}  // extern "C"

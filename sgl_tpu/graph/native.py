@@ -72,6 +72,17 @@ def _load() -> Optional[ctypes.CDLL]:
     lib.sgl_gather_rows.argtypes = [
         ctypes.c_void_p, ctypes.c_int64, i32, ctypes.c_int64, ctypes.c_void_p,
     ]
+    i64 = ctl.ndpointer(np.int64, flags="C_CONTIGUOUS")
+    lib.sgl_pack_cells_2d.argtypes = [
+        i32, i32, f32, i64, i64, i64, i32, i32,
+        ctypes.c_int32, ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
+        i32, i32, f32, i32,
+    ]
+    lib.sgl_classify_sort_cells_2d.argtypes = [
+        i32, i32, f32, ctypes.c_int64, ctypes.c_int32, ctypes.c_int32,
+        ctypes.c_int32, i32, ctypes.c_int32,
+        i32, i32, i32, f32, i64,
+    ]
     lib.sgl_csv_load.argtypes = [
         ctypes.c_char_p,
         ctypes.c_int,
@@ -237,3 +248,59 @@ def load_csv_native(path: str, dtype=np.float32) -> Optional[np.ndarray]:
         ).copy()
     finally:
         lib.sgl_buf_free(data)
+
+
+def pack_cells_2d(src, dst, w, cell_starts, slot_offs, ct_offs, t_lo_rows,
+                  blk_base, tr, chunk, n_tiles):
+    """Fill every 2-D cell's padded chunk arrays in one parallel native
+    pass (see ``sgl_pack_cells_2d``).  Returns the four packed arrays as
+    ONE buffer each; callers slice per-cell views via ``slot_offs`` /
+    ``ct_offs``.  Returns None when the native library is unavailable —
+    the caller keeps its numpy packing loop."""
+    lib = _load()
+    if lib is None:
+        return None
+    src = np.ascontiguousarray(src, np.int32)
+    dst = np.ascontiguousarray(dst, np.int32)
+    w = np.ascontiguousarray(w, np.float32)
+    cell_starts = np.ascontiguousarray(cell_starts, np.int64)
+    slot_offs = np.ascontiguousarray(slot_offs, np.int64)
+    ct_offs = np.ascontiguousarray(ct_offs, np.int64)
+    t_lo_rows = np.ascontiguousarray(t_lo_rows, np.int32)
+    blk_base = np.ascontiguousarray(blk_base, np.int32)
+    n_cells = cell_starts.shape[0] - 1
+    o_src = np.empty(int(slot_offs[-1]), np.int32)
+    o_dst = np.empty(int(slot_offs[-1]), np.int32)
+    o_w = np.empty(int(slot_offs[-1]), np.float32)
+    o_ct = np.empty(int(ct_offs[-1]), np.int32)
+    lib.sgl_pack_cells_2d(
+        src, dst, w, cell_starts, slot_offs, ct_offs, t_lo_rows, blk_base,
+        n_cells, tr, chunk, n_tiles, o_src, o_dst, o_w, o_ct,
+    )
+    return o_src, o_dst, o_w, o_ct
+
+
+def classify_sort_cells_2d(src, dst, w, tr, sb, k, part_of_tile):
+    """Fused per-edge 2-D cell classification + stable counting sort (see
+    ``sgl_classify_sort_cells_2d``).  Returns
+    ``(o_src, o_dst, o_tile, o_w, cell_counts)`` or None without the
+    native library (the caller keeps its numpy passes)."""
+    lib = _load()
+    if lib is None:
+        return None
+    src = np.ascontiguousarray(src, np.int32)
+    dst = np.ascontiguousarray(dst, np.int32)
+    w = np.ascontiguousarray(w, np.float32)
+    part_of_tile = np.ascontiguousarray(part_of_tile, np.int32)
+    n = src.shape[0]
+    n_keys = (int(part_of_tile[-1]) + 1) * k if part_of_tile.size else k
+    o_src = np.empty(n, np.int32)
+    o_dst = np.empty(n, np.int32)
+    o_tile = np.empty(n, np.int32)
+    o_w = np.empty(n, np.float32)
+    cell_counts = np.empty(n_keys, np.int64)
+    lib.sgl_classify_sort_cells_2d(
+        src, dst, w, n, tr, sb, k, part_of_tile, n_keys,
+        o_src, o_dst, o_tile, o_w, cell_counts,
+    )
+    return o_src, o_dst, o_tile, o_w, cell_counts

@@ -164,3 +164,40 @@ def test_gather_rows_matches_numpy():
     got = native.gather_rows(x, idx, out=out)
     assert got is out
     np.testing.assert_array_equal(out, x[idx])
+
+
+def test_pack_cells_2d_matches_numpy_loop(monkeypatch):
+    """Round 5: the native one-pass cell packer must produce byte-identical
+    layouts to the numpy packing loop (the reference implementation), on an
+    adversarial power-law graph with empty cells and multiple size
+    classes."""
+    import numpy as np
+
+    from sgl_tpu.datasets.synthetic import random_power_law_graph
+    from sgl_tpu.graph import native, symmetric_normalized_weights
+    from sgl_tpu.kernels.spmm_ooc import prepare_out_of_core_2d
+
+    if not native.native_available():
+        import pytest
+
+        pytest.skip("native library unavailable")
+
+    g = random_power_law_graph(3_000, 4, 6, seed=17, alpha=1.4,
+                               pad_multiple=1024)
+    adj = symmetric_normalized_weights(g)
+    kw = dict(max_edges_per_part=4 * 128, src_blocks=4, chunk=128,
+              tile_rows=128)
+    oc_native = prepare_out_of_core_2d(adj, **kw)
+    # force the numpy fallback for both the sort and the packer
+    monkeypatch.setattr(native, "_lib", None)
+    monkeypatch.setattr(native, "_lib_failed", True)
+    oc_numpy = prepare_out_of_core_2d(adj, **kw)
+    assert oc_native.num_blocks == oc_numpy.num_blocks
+    for row_a, row_b in zip(oc_native.parts, oc_numpy.parts):
+        for a, b in zip(row_a, row_b):
+            assert a.n_edges == b.n_edges
+            np.testing.assert_array_equal(a.src, b.src)
+            np.testing.assert_array_equal(a.dst, b.dst)
+            np.testing.assert_array_equal(a.w, b.w)
+            np.testing.assert_array_equal(a.chunk_tile, b.chunk_tile)
+            np.testing.assert_array_equal(a.tile_mask, b.tile_mask)
