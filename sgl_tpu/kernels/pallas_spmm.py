@@ -592,8 +592,13 @@ class StackedParts:
     dst: jnp.ndarray  # (Pn, E_b) int32, part-local rows
     w: jnp.ndarray  # (Pn, E_b) f32
     chunk_tile: jnp.ndarray  # (Pn, C) int32
-    tile_offset: jnp.ndarray  # (Pn,) int32 (×TILE_R = global row offset)
-    valid_rows: jnp.ndarray  # (Pn,) int32 = n_tiles·TILE_R per part
+    # STATIC layout metadata (pytree aux, not leaves): row offsets and
+    # valid rows are layout constants, and keeping them static lets the
+    # scan unroll into static-window accumulator updates — measured ~1
+    # ms/part cheaper than lax.scan + dynamic slices (round 5,
+    # dev/exp_stream_parts.py)
+    tile_offset: tuple  # (Pn,) ints, ×1 = global row offset (pre-scaled)
+    valid_rows: tuple  # (Pn,) ints = n_tiles·TILE_R per part
 
     def tree_flatten(self):
         return (
@@ -601,13 +606,11 @@ class StackedParts:
             self.dst,
             self.w,
             self.chunk_tile,
-            self.tile_offset,
-            self.valid_rows,
-        ), ()
+        ), (self.tile_offset, self.valid_rows)
 
     @classmethod
     def tree_unflatten(cls, aux, leaves):
-        return cls(*leaves)
+        return cls(*leaves, *aux)
 
     @property
     def num_parts(self) -> int:
@@ -620,8 +623,8 @@ def stack_parts(parts) -> StackedParts:
         jnp.stack([p.dst for p in parts]),
         jnp.stack([p.w for p in parts]),
         jnp.stack([p.chunk_tile for p in parts]),
-        jnp.asarray([p.tile_offset * TILE_R for p in parts], jnp.int32),
-        jnp.asarray([p.n_tiles * TILE_R for p in parts], jnp.int32),
+        tuple(int(p.tile_offset) * TILE_R for p in parts),
+        tuple(int(p.n_tiles) * TILE_R for p in parts),
     )
 
 
@@ -720,6 +723,12 @@ def prepare_chunked_parts(
     return stack_parts(parts), full.num_nodes, max_tiles, extras
 
 
+#: unroll the streaming part loop up to this many parts (static windows,
+#: measured ~1 ms/part cheaper than lax.scan); deeper graphs scan to keep
+#: compile time linear-but-bounded
+_STREAM_UNROLL_MAX = 24
+
+
 @functools.partial(
     jax.jit, static_argnames=("n_rows", "num_nodes", "interpret")
 )
@@ -741,30 +750,50 @@ def _streaming_scan(
     # independent, so halving row bytes saves nothing, while gathering
     # pre-cast f32 rows saves the per-edge cast on the 6M-row message path
     xp = xp.astype(jnp.float32)
-    # the accumulator keeps an n_rows overhang so every part's dynamic
-    # window is in-bounds (no start-index clamping double-adds)
+    # the accumulator keeps an n_rows overhang so every part's window is
+    # in-bounds (no start-index clamping double-adds)
     n_total = _round_up(num_nodes, TILE_R) + n_rows
-    row_ids = jnp.arange(n_rows, dtype=jnp.int32)
+    n_parts = int(stk.src.shape[0])
 
-    def body(y, part):
-        src, dst, w, ct, off, valid = part
+    def produce(src, w, dst, ct):
         msgs = jnp.take(xp, src, axis=0) * w[:, None]
         hi = msgs.astype(jnp.bfloat16)
         lo = None if single else (msgs - hi.astype(jnp.float32)).astype(jnp.bfloat16)
-        out = _segment_reduce_mxu(
+        return _segment_reduce_mxu(
             hi, lo, dst, ct, num_nodes=n_rows, interpret=interpret
         )
-        # rows past the part's real tiles are never written by the kernel
-        out = jnp.where((row_ids < valid)[:, None], out, 0.0)
-        cur = jax.lax.dynamic_slice(y, (off, 0), (n_rows, d_pad))
-        return jax.lax.dynamic_update_slice(y, cur + out, (off, 0)), None
 
     y0 = jnp.zeros((n_total, d_pad), jnp.float32)
-    y, _ = jax.lax.scan(
-        body,
-        y0,
-        (stk.src, stk.dst, stk.w, stk.chunk_tile, stk.tile_offset, stk.valid_rows),
-    )
+    if n_parts <= _STREAM_UNROLL_MAX:
+        # unrolled part loop with STATIC windows: y.at[o:o+v].add slices
+        # instead of lax.scan + dynamic slice/update — measured 19.5 →
+        # 15.5 ms/hop at 4 parts on the 5M-edge graph (round 5,
+        # dev/exp_stream_parts.py: ~1 ms/part is pure scan machinery; the
+        # valid-row select was free but the static window subsumes it)
+        y = y0
+        for i in range(n_parts):
+            out = produce(stk.src[i], stk.w[i], stk.dst[i], stk.chunk_tile[i])
+            o, v = stk.tile_offset[i], stk.valid_rows[i]
+            y = y.at[o:o + v].add(out[:v])
+    else:
+        # scan keeps compile time bounded for very deep part counts
+        row_ids = jnp.arange(n_rows, dtype=jnp.int32)
+
+        def body(y, part):
+            src, dst, w, ct, off, valid = part
+            out = produce(src, w, dst, ct)
+            # rows past the part's real tiles are never written by the kernel
+            out = jnp.where((row_ids < valid)[:, None], out, 0.0)
+            cur = jax.lax.dynamic_slice(y, (off, 0), (n_rows, d_pad))
+            return jax.lax.dynamic_update_slice(y, cur + out, (off, 0)), None
+
+        y, _ = jax.lax.scan(
+            body,
+            y0,
+            (stk.src, stk.dst, stk.w, stk.chunk_tile,
+             jnp.asarray(stk.tile_offset, jnp.int32),
+             jnp.asarray(stk.valid_rows, jnp.int32)),
+        )
     y = y[:num_nodes, :d]
     return extras.apply_extras(x, y).astype(x.dtype)
 
