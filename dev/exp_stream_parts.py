@@ -68,8 +68,8 @@ def main(n=200_000, avg_deg=25, d=128, part_edges=1 << 20):
         y0 = jnp.zeros((n_total, d_pad), jnp.float32)
         if mode == "unroll":
             y = y0
-            offs = [int(v) for v in np.asarray(stk.tile_offset)]
-            valids = [int(v) for v in np.asarray(stk.valid_rows)]
+            offs = list(stk.tile_offset)
+            valids = list(stk.valid_rows)
             for i in range(n_parts):
                 msgs = jnp.take(xp, stk.src[i], axis=0) * stk.w[i][:, None]
                 hi = msgs.astype(jnp.bfloat16)
@@ -82,8 +82,9 @@ def main(n=200_000, avg_deg=25, d=128, part_edges=1 << 20):
             return y[:num_nodes, :d]
         y, _ = jax.lax.scan(
             body, y0,
-            (stk.src, stk.dst, stk.w, stk.chunk_tile, stk.tile_offset,
-             stk.valid_rows),
+            (stk.src, stk.dst, stk.w, stk.chunk_tile,
+             jnp.asarray(stk.tile_offset, jnp.int32),
+             jnp.asarray(stk.valid_rows, jnp.int32)),
         )
         return y[:num_nodes, :d]
 

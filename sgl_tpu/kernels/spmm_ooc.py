@@ -327,6 +327,11 @@ def _cell_tile_counts(src, dst, n, k, sb, max_edges_per_part, tr,
                         + [n_tiles_total]))
     n_parts = len(bounds) - 1
     n_tiles = max(hi - lo for lo, hi in zip(bounds[:-1], bounds[1:]))
+    if n_parts * k * n_tiles >= 2**31:
+        # the dense (cells × tiles) count matrix would overflow int32 keys
+        # AND cost tens of GB — the sweep is not worth that at this scale;
+        # signal the caller to fall back to the measured-best fixed shape
+        return None
     # per-TILE tables: part id and (part*k)*n_tiles + local-tile offset
     tiles = np.arange(n_tiles_total)
     part_of_tile = np.searchsorted(np.asarray(bounds[1:]), tiles,
@@ -369,6 +374,20 @@ def _pick_cell_layout(src, dst, n, k, max_edges_per_part, chunk_cands,
     for tr in tr_cands:
         cnt = _cell_tile_counts(src, dst, n, k, sb, max_edges_per_part, tr,
                                 tile128=tile128, block_of=block_of)
+        if cnt is None:
+            # count domain too large to sweep (papers100M-and-beyond with
+            # many parts × blocks × tiles): take the measured-best shape
+            # from the products on-chip sweep instead of crashing or
+            # allocating a tens-of-GB count matrix
+            pick = (
+                256 if 256 in chunk_cands else chunk_cands[0],
+                512 if 512 in tr_cands else tr_cands[0],
+            )
+            logger.info(
+                "2-D out-of-core model pick: count domain too large; "
+                "falling back to chunk=%d tile_rows=%d", *pick,
+            )
+            return pick
         for c in chunk_cands:
             slots = _count_cell_slots(cnt, c)
             cost = slots * (5.2 + 0.33 * (tr / 128) + 270.0 / c)
@@ -568,11 +587,8 @@ def prepare_out_of_core_2d(
     def _subpart_padded(lo, hi, t_lo):
         tiles = tile_sorted[lo:hi] - np.int32(t_lo)
         counts = np.bincount(tiles, minlength=n_tiles)
-        padded = np.where(counts > 0, _round_up_arr_np_local(counts, chunk), 0)
+        padded = np.where(counts > 0, _round_up_arr(counts, chunk), 0)
         return counts, padded
-
-    def _round_up_arr_np_local(a, m):
-        return ((a + m - 1) // m) * m
 
     all_padded = []
     for p in range(n_parts):

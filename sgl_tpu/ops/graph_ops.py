@@ -16,6 +16,7 @@ from typing import Optional
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from sgl_tpu.graph.graph import Graph
 from sgl_tpu.graph.normalize import (
@@ -178,11 +179,19 @@ class GraphOp:
         if layout not in ("1d", "2d"):
             raise ValueError("layout must be '1d' or '2d'")
         want_cls = OutOfCoreAdj2D if layout == "2d" else OutOfCoreAdj
+        # key the cached layout on every input that shapes it: the 2-D
+        # auto sizing depends on the FEATURE width/dtype (gather-cliff
+        # budget), so a second call with different features must rebuild
+        # instead of silently reusing a mis-sized layout
+        build_key = (
+            "ooc", layout, int(max_edges_per_part), src_blocks,
+            int(x_host.shape[1]), np.dtype(x_host.dtype).name,
+        )
         ref, cached_backend, cached = self._adj_cache
         if (
             ref is not None
             and ref() is graph
-            and cached_backend == "ooc"
+            and cached_backend == build_key
             and isinstance(cached, want_cls)
         ):
             oc = cached
@@ -207,7 +216,7 @@ class GraphOp:
             try:
                 import weakref
 
-                self._adj_cache = (weakref.ref(graph), "ooc", oc)
+                self._adj_cache = (weakref.ref(graph), build_key, oc)
             except TypeError:
                 pass
         return k_hop_out_of_core(

@@ -114,7 +114,11 @@ def ring_bucket_work_time(
         def run(xp):
             def hop(carry, _):
                 def bkt(acc, i):
-                    xb = jnp.take(xp, owner_block[i], axis=0) + carry * 0
+                    # loop-carry dependence WITHOUT dtype promotion: an
+                    # f32 scalar added to a bf16 block would upcast the
+                    # whole gather source and time the wrong pipeline
+                    xb = (jnp.take(xp, owner_block[i], axis=0)
+                          + carry.astype(xp.dtype) * 0)
                     msgs = (
                         jnp.take(xb, src[i], axis=0).astype(jnp.float32)
                         * w[i][:, None]
@@ -388,6 +392,7 @@ def partition_adj_chunked(
     shuffle_seed: int = 0,
     skip_empty_tiles: bool = False,
     feat_dim: Optional[int] = None,
+    feat_dtype=None,
     measure: bool | str = False,
 ) -> DistChunkedAdj:
     """Host-side partition into per-(owner, source-block) Pallas chunk
@@ -561,6 +566,7 @@ def partition_adj_chunked(
                 skip_empty_tiles=skip_empty_tiles, feat_dim=feat_dim,
             )
             d_m = int(feat_dim or 128)
+            dt_m = feat_dtype if feat_dtype is not None else jnp.float32
             interp = jax.default_backend() == "cpu"
             picked = None
             with warnings.catch_warnings():
@@ -569,7 +575,8 @@ def partition_adj_chunked(
                     cand = partition_adj_chunked(
                         adj, p, tile_rows=r_c, chunk=c_c, **kw
                     )
-                    t_c = ring_bucket_work_time(cand, d_m, interpret=interp)
+                    t_c = ring_bucket_work_time(cand, d_m, dtype=dt_m,
+                                                interpret=interp)
                     logger.info(
                         "measured pick: (tile_rows=%d, chunk=%d) -> %.2f ms "
                         "bucket work/hop", r_c, c_c, t_c * 1e3,

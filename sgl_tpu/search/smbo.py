@@ -189,11 +189,22 @@ def _openbox_history_to_history(result, fallback_trials) -> History:
     wrapper also timed every call, so the recognized paths recover real
     per-trial ``elapsed`` by config lookup instead of recording 0.0
     (which would silently diverge from the built-in optimizers')."""
-    def _cfg_key(cfg):
-        # canonical repr of sorted items: hashable even for list-valued
-        # hyperparameters, and robust to value-type drift between
+    def _cfg_val(v):
+        # numerics canonicalize to float so value-type drift between
         # OpenBox's returned config dicts and the wrapper's recorded ones
-        return repr(sorted((str(k), repr(v)) for k, v in cfg.items()))
+        # (2 vs 2.0 vs np.float64(2)) still matches — the case the old
+        # frozenset key handled via hash(2) == hash(2.0); bools stay
+        # distinct from 0/1, everything unhashable falls back to repr
+        if isinstance(v, bool):
+            return ("b", v)
+        if isinstance(v, (int, float, np.integer, np.floating)):
+            return ("n", float(v))
+        return ("r", repr(v))
+
+    def _cfg_key(cfg):
+        # canonical sorted items: hashable even for list-valued
+        # hyperparameters AND drift-tolerant for numeric values
+        return tuple(sorted((str(k), _cfg_val(v)) for k, v in cfg.items()))
 
     def _make_elapsed_of():
         by_cfg = {}

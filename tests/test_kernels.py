@@ -828,3 +828,31 @@ def test_spmm_2d_resident_allclose(dtype):
                                               interpret=True))
     np.testing.assert_allclose(np.asarray(got2, np.float32),
                                np.asarray(got, np.float32), rtol=0, atol=0)
+
+
+def test_propagate_out_of_core_cache_keys_on_features():
+    """Round-5 review: the cached OOC layout must rebuild when the
+    features change width/dtype (the 2-D auto block sizing depends on
+    them via the gather-cliff budget) — never silently reuse a layout
+    sized for different features."""
+    import ml_dtypes
+
+    from sgl_tpu.datasets.synthetic import random_power_law_graph
+    from sgl_tpu.ops.graph_ops import LaplacianGraphOp
+
+    g = random_power_law_graph(2_000, 4, 6, seed=3, alpha=1.3,
+                               pad_multiple=512)
+    op = LaplacianGraphOp(1)
+    x32 = np.asarray(g.x, np.float32)
+    op.propagate_out_of_core(g, x32, max_edges_per_part=4 * 128,
+                             layout="2d", interpret=True)
+    oc_a = op._adj_cache[2]
+    # same features: cache hit
+    op.propagate_out_of_core(g, x32, max_edges_per_part=4 * 128,
+                             layout="2d", interpret=True)
+    assert op._adj_cache[2] is oc_a
+    # different dtype: rebuild (auto sizing would differ at scale)
+    xb = x32.astype(ml_dtypes.bfloat16)
+    op.propagate_out_of_core(g, xb, max_edges_per_part=4 * 128,
+                             layout="2d", interpret=True)
+    assert op._adj_cache[2] is not oc_a

@@ -363,8 +363,10 @@ def test_openbox_history_elapsed_with_unhashable_config_values():
     hist = _openbox_history_to_history(result, trials)
     assert len(hist.trials) == 1
     assert hist.trials[0].elapsed == 3.25  # real elapsed recovered by key
-    # drifted value type (int vs np-ish float repr difference is fine to
-    # miss, but it must not raise)
+    # drifted NUMERIC value type (2 vs 2.0) must still MATCH — the
+    # frozenset key the repr version replaced matched these via
+    # hash(2) == hash(2.0), and losing the elapsed silently was the
+    # failure mode this machinery exists to prevent (round-5 review)
     drifted = types.SimpleNamespace(
         observations=[types.SimpleNamespace(
             config={"prop_steps": 2.0, "widths": [64, 32]},
@@ -373,3 +375,4 @@ def test_openbox_history_elapsed_with_unhashable_config_values():
     )
     hist2 = _openbox_history_to_history(drifted, trials)
     assert len(hist2.trials) == 1
+    assert hist2.trials[0].elapsed == 3.25
