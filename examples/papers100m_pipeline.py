@@ -56,7 +56,11 @@ def main(argv=None):
                     help="memmap hop store directory")
     ap.add_argument("--layout-cache", default=None,
                     help="persist the 2-D layout build here")
-    ap.add_argument("--src-blocks", type=int, default=8)
+    ap.add_argument(
+        "--src-blocks", default="auto",
+        help="column-block count; 'auto' (default) sizes block workspaces "
+             "under the measured gather-rate cliff for the feature "
+             "width/dtype")
     ap.add_argument("--part-edges", type=int, default=6 << 20,
                     help="edges per out-of-core part (measured optimum)")
     ap.add_argument("--epochs", type=int, default=4)
@@ -105,7 +109,10 @@ def main(argv=None):
                          prop_steps=args.hops, dtype=x_host.dtype)
     model.pre_graph_op.propagate_out_of_core(
         ds.graph, x_host, hop_sink=sink, layout="2d",
-        src_blocks=2 if args.toy else args.src_blocks,
+        src_blocks=2 if args.toy else (
+            args.src_blocks if args.src_blocks == "auto"
+            else int(args.src_blocks)
+        ),
         max_edges_per_part=8 * 128 if args.toy else args.part_edges,
         layout_cache_dir=args.layout_cache,
         interpret=args.toy,
