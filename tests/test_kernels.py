@@ -856,3 +856,34 @@ def test_propagate_out_of_core_cache_keys_on_features():
     op.propagate_out_of_core(g, xb, max_edges_per_part=4 * 128,
                              layout="2d", interpret=True)
     assert op._adj_cache[2] is not oc_a
+
+
+def test_pick_cell_layout_oversized_domain_falls_back(monkeypatch):
+    """Round-5 review: when the dense (cells x tiles) count domain would
+    exceed int32 keys (papers100M with many parts x blocks x tiles), the
+    model pick must fall back to the measured-best fixed shape instead of
+    overflowing or allocating tens of GB."""
+    import sgl_tpu.kernels.spmm_ooc as mod
+
+    real = mod._cell_tile_counts
+
+    def tiny_domain(*a, **k):
+        return None  # simulate the >=2**31 bail-out
+
+    monkeypatch.setattr(mod, "_cell_tile_counts", tiny_domain)
+    chunk, tr = mod._pick_cell_layout(
+        np.zeros(4, np.int32), np.zeros(4, np.int32), 256, 2, 128,
+        chunk_cands=(128, 256, 512), tr_cands=(128, 256, 512, 1024),
+    )
+    assert (chunk, tr) == (256, 512)
+    monkeypatch.setattr(mod, "_cell_tile_counts", real)
+    # and the detection itself: spread dst across 4 parts with a huge
+    # block count so n_parts*k*n_tiles >= 2**31 — must return None from
+    # the guard arithmetic, before any allocation
+    n = 2**22
+    dst = np.asarray([0, n // 4, n // 2, 3 * n // 4], np.int32)
+    out = real(
+        np.zeros(4, np.int32), dst, n=n, k=2**17,
+        sb=32, max_edges_per_part=1, tr=128,
+    )
+    assert out is None
