@@ -98,9 +98,15 @@ class NodeClassificationDist(BaseTask):
         t0 = time.time()
         adj = model.pre_graph_op.construct_adj(ds.graph)
         # the chunked layout's (tile_rows, chunk) picker needs the feature
-        # width to keep its VMEM bound honest at wide D
+        # width to keep its VMEM bound honest at wide D; measure="auto"
+        # settles wide-vs-128 block decisions by a real on-device A/B
+        # (seconds, once per task) instead of the cost model's margin
         kw = (
-            {"feat_dim": int(np.asarray(ds.x).shape[1])}
+            {
+                "feat_dim": int(np.asarray(ds.x).shape[1]),
+                "feat_dtype": self._precompute_dtype,
+                "measure": "auto",
+            }
             if partition is partition_adj_chunked
             else {}
         )
