@@ -465,6 +465,126 @@ def _segment_reduce_mxu(
     return out[:num_nodes]
 
 
+def _seg_kernel_single_acc(ct_ref, off_ref, dst_ref, hi_ref, acc_ref, out_ref):
+    """Accumulating single-matmul variant: the first chunk of a tile LOADS
+    the aliased accumulator block instead of zeroing, so part outputs land
+    in the global ``y`` in place (no separate out buffer + at[].add)."""
+    del off_ref  # consumed by the index maps only
+    c = pl.program_id(0)
+    tile = ct_ref[c]
+    is_first = jnp.logical_or(c == 0, ct_ref[jnp.maximum(c - 1, 0)] != tile)
+
+    @pl.when(is_first)
+    def _():
+        out_ref[:] = acc_ref[:]
+
+    chunk = dst_ref.shape[-1]
+    tile_r = out_ref.shape[0]
+    local = dst_ref[0] - tile * tile_r
+    rows = jax.lax.broadcasted_iota(jnp.int32, (tile_r, chunk), 0)
+    onehot = (local == rows).astype(jnp.bfloat16)
+    out_ref[:] += jax.lax.dot_general(
+        onehot,
+        hi_ref[0],
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+
+def _seg_kernel_acc(ct_ref, off_ref, dst_ref, hi_ref, lo_ref, acc_ref, out_ref):
+    del off_ref
+    c = pl.program_id(0)
+    tile = ct_ref[c]
+    is_first = jnp.logical_or(c == 0, ct_ref[jnp.maximum(c - 1, 0)] != tile)
+
+    @pl.when(is_first)
+    def _():
+        out_ref[:] = acc_ref[:]
+
+    chunk = dst_ref.shape[-1]
+    tile_r = out_ref.shape[0]
+    local = dst_ref[0] - tile * tile_r
+    rows = jax.lax.broadcasted_iota(jnp.int32, (tile_r, chunk), 0)
+    onehot = (local == rows).astype(jnp.bfloat16)
+
+    def mm(m):
+        return jax.lax.dot_general(
+            onehot,
+            m,
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+
+    out_ref[:] += mm(hi_ref[0]) + mm(lo_ref[0])
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",), donate_argnums=(4,))
+def _segment_reduce_mxu_acc(
+    hi, lo, dst, chunk_tile, acc, off_tiles, interpret: bool = False
+):
+    """Streaming variant of :func:`_segment_reduce_mxu`: accumulates the
+    part's tile contributions INTO ``acc`` in place.
+
+    ``acc`` is the full (n_total, D) f32 accumulator; ``off_tiles`` is a
+    (1,) int32 array holding the part's global tile offset — data, not a
+    static, so all parts of a streaming graph share ONE compiled kernel
+    (the offset rides scalar prefetch into the output index map).  Blocks
+    the grid never visits keep their prior ``acc`` contents (the aliased
+    output IS the input buffer), which is exactly the overlap-add the
+    mid-tile part splits need.  Saves ~3 HBM touches of the part's output
+    window per part vs the out-buffer + ``y.at[o:o+v].add`` form: the
+    measured ~0.7 ms/part residual of the round-5 unrolled loop.
+    """
+    e_pad, d = hi.shape
+    n_chunks = chunk_tile.shape[0]
+    chunk = e_pad // n_chunks
+    assert e_pad == n_chunks * chunk and d % 128 == 0
+    assert acc.shape[0] % TILE_R == 0 and acc.shape[1] == d
+    hi3 = hi.reshape(n_chunks, chunk, d)
+    dst3 = dst.reshape(n_chunks, 1, chunk)
+    msg_spec = pl.BlockSpec((1, chunk, d), lambda c, ct, off: (c, 0, 0))
+    out_map = lambda c, ct, off: (ct[c] + off[0], 0)
+    acc_spec = pl.BlockSpec((TILE_R, d), out_map, memory_space=pltpu.VMEM)
+    in_specs = [
+        pl.BlockSpec((1, 1, chunk), lambda c, ct, off: (c, 0, 0)),
+        msg_spec,
+    ]
+    operands = [dst3, hi3]
+    if lo is None:
+        kernel = _seg_kernel_single_acc
+        passes = 1
+    else:
+        kernel = _seg_kernel_acc
+        passes = 2
+        in_specs.append(msg_spec)
+        operands.append(lo.reshape(n_chunks, chunk, d))
+    in_specs.append(acc_spec)
+    operands.append(acc)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(n_chunks,),
+        in_specs=in_specs,
+        out_specs=acc_spec,
+    )
+    # alias index counts ALL pallas_call inputs including the two scalar-
+    # prefetch operands (verified both conventions, dev/exp_acc_alias.py:
+    # the other one shape-errors): ct, off, dst3, hi3[, lo3], acc
+    alias_idx = 4 + passes - 1
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct(acc.shape, jnp.float32),
+        grid_spec=grid_spec,
+        interpret=interpret,
+        input_output_aliases={alias_idx: 0},
+        cost_estimate=pl.CostEstimate(
+            flops=2 * passes * e_pad * TILE_R * d,
+            bytes_accessed=e_pad * (d * 2 * passes + 4)
+            + 2 * n_chunks * TILE_R * d * 4,
+            transcendentals=0,
+        ),
+    )(chunk_tile, off_tiles, *operands)
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
 def spmm_pallas(adj: ChunkedAdj, x: jnp.ndarray, interpret: bool = False) -> jnp.ndarray:
     """``y = adj @ x`` with XLA gather + Pallas MXU segment reduction.
@@ -765,16 +885,28 @@ def _streaming_scan(
 
     y0 = jnp.zeros((n_total, d_pad), jnp.float32)
     if n_parts <= _STREAM_UNROLL_MAX:
-        # unrolled part loop with STATIC windows: y.at[o:o+v].add slices
-        # instead of lax.scan + dynamic slice/update — measured 19.5 →
-        # 15.5 ms/hop at 4 parts on the 5M-edge graph (round 5,
-        # dev/exp_stream_parts.py: ~1 ms/part is pure scan machinery; the
-        # valid-row select was free but the static window subsumes it)
+        # unrolled part loop, accumulating IN PLACE: each part's kernel
+        # aliases the global accumulator as its output and loads the live
+        # block on first visit, so the per-part (n_rows, d_pad) out buffer
+        # and the y.at[o:o+v].add read-modify-write never exist.  Round-5
+        # history: scan+dynamic windows 19.5 → static at[].add 15.5 →
+        # aliased accumulate (this form) ms/hop at 4 parts on the 5M-edge
+        # bench; the ~0.7 ms/part residual was those 3 extra HBM touches
+        # of the part window.
         y = y0
         for i in range(n_parts):
-            out = produce(stk.src[i], stk.w[i], stk.dst[i], stk.chunk_tile[i])
-            o, v = stk.tile_offset[i], stk.valid_rows[i]
-            y = y.at[o:o + v].add(out[:v])
+            msgs = jnp.take(xp, stk.src[i], axis=0) * stk.w[i][:, None]
+            hi = msgs.astype(jnp.bfloat16)
+            lo = (
+                None
+                if single
+                else (msgs - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+            )
+            off = jnp.asarray([stk.tile_offset[i] // TILE_R], jnp.int32)
+            y = _segment_reduce_mxu_acc(
+                hi, lo, stk.dst[i], stk.chunk_tile[i], y, off,
+                interpret=interpret,
+            )
     else:
         # scan keeps compile time bounded for very deep part counts
         row_ids = jnp.arange(n_rows, dtype=jnp.int32)
