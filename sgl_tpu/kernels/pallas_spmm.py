@@ -518,9 +518,12 @@ def _seg_kernel_acc(ct_ref, off_ref, dst_ref, hi_ref, lo_ref, acc_ref, out_ref):
     out_ref[:] += mm(hi_ref[0]) + mm(lo_ref[0])
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",), donate_argnums=(4,))
+@functools.partial(
+    jax.jit, static_argnames=("interpret", "tile_r"), donate_argnums=(4,)
+)
 def _segment_reduce_mxu_acc(
-    hi, lo, dst, chunk_tile, acc, off_tiles, interpret: bool = False
+    hi, lo, dst, chunk_tile, acc, off_tiles, interpret: bool = False,
+    tile_r: int = TILE_R,
 ):
     """Streaming variant of :func:`_segment_reduce_mxu`: accumulates the
     part's tile contributions INTO ``acc`` in place.
@@ -539,12 +542,13 @@ def _segment_reduce_mxu_acc(
     n_chunks = chunk_tile.shape[0]
     chunk = e_pad // n_chunks
     assert e_pad == n_chunks * chunk and d % 128 == 0
-    assert acc.shape[0] % TILE_R == 0 and acc.shape[1] == d
+    assert tile_r % TILE_R == 0
+    assert acc.shape[0] % tile_r == 0 and acc.shape[1] == d
     hi3 = hi.reshape(n_chunks, chunk, d)
     dst3 = dst.reshape(n_chunks, 1, chunk)
     msg_spec = pl.BlockSpec((1, chunk, d), lambda c, ct, off: (c, 0, 0))
     out_map = lambda c, ct, off: (ct[c] + off[0], 0)
-    acc_spec = pl.BlockSpec((TILE_R, d), out_map, memory_space=pltpu.VMEM)
+    acc_spec = pl.BlockSpec((tile_r, d), out_map, memory_space=pltpu.VMEM)
     in_specs = [
         pl.BlockSpec((1, 1, chunk), lambda c, ct, off: (c, 0, 0)),
         msg_spec,
@@ -577,9 +581,9 @@ def _segment_reduce_mxu_acc(
         interpret=interpret,
         input_output_aliases={alias_idx: 0},
         cost_estimate=pl.CostEstimate(
-            flops=2 * passes * e_pad * TILE_R * d,
+            flops=2 * passes * e_pad * tile_r * d,
             bytes_accessed=e_pad * (d * 2 * passes + 4)
-            + 2 * n_chunks * TILE_R * d * 4,
+            + 2 * n_chunks * tile_r * d * 4,
             transcendentals=0,
         ),
     )(chunk_tile, off_tiles, *operands)
