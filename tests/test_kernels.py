@@ -227,6 +227,53 @@ def test_streaming_spmm_bf16_single_pass():
     )
 
 
+def test_segment_reduce_acc_semantics():
+    """The aliased accumulator kernel (streaming parts): contributions
+    land at the scalar-prefetch tile offset ON TOP of the live ``acc``
+    values, and blocks the grid never visits keep ``acc`` bit-exactly —
+    the overlap-add contract mid-tile part splits rely on.  Covers the
+    wide-block (tile_r=256) variant and both hi/lo dispatches."""
+    from sgl_tpu.kernels.pallas_spmm import _segment_reduce_mxu_acc
+
+    rng = np.random.default_rng(7)
+    chunk, d, n_chunks = 64, 128, 6
+    for tile_r, off_t in ((128, 2), (256, 1)):
+        total_tiles = 5
+        ct = jnp.asarray(
+            np.sort(rng.integers(0, 2, n_chunks)).astype(np.int32)
+        )
+        dst = rng.integers(0, tile_r, (n_chunks, chunk)).astype(np.int32)
+        dst = dst + np.asarray(ct)[:, None] * tile_r
+        msgs = rng.normal(size=(n_chunks * chunk, d)).astype(np.float32)
+        acc = rng.normal(size=(total_tiles * tile_r, d)).astype(np.float32)
+        expect = acc.copy()
+        for c in range(n_chunks):
+            for e in range(chunk):
+                expect[int(dst[c, e]) + off_t * tile_r] += msgs[c * chunk + e]
+        hi = jnp.asarray(msgs, jnp.bfloat16)
+        lo = (jnp.asarray(msgs) - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+        off = jnp.asarray([off_t], jnp.int32)
+        for lo_arg, atol in ((lo, 1e-4), (None, 2e-2)):
+            got = np.asarray(
+                _segment_reduce_mxu_acc(
+                    hi, lo_arg, jnp.asarray(dst.reshape(-1)), ct,
+                    jnp.asarray(acc), off, interpret=True, tile_r=tile_r,
+                )
+            )
+            scale = np.abs(expect).max()
+            np.testing.assert_allclose(
+                got, expect, rtol=0, atol=atol * scale
+            )
+            # unvisited blocks: bit-exact acc passthrough (tiles past
+            # off_t+2 and before off_t are never in the grid's range)
+            assert np.array_equal(
+                got[(off_t + 2) * tile_r:], acc[(off_t + 2) * tile_r:]
+            )
+            assert np.array_equal(
+                got[: off_t * tile_r], acc[: off_t * tile_r]
+            )
+
+
 def test_spmm_multi_matches_per_r():
     """One multi-weight pass == R independent SpMMs (shared structure)."""
     import jax.numpy as jnp
