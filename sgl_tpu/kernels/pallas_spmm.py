@@ -534,9 +534,13 @@ def _segment_reduce_mxu_acc(
     (the offset rides scalar prefetch into the output index map).  Blocks
     the grid never visits keep their prior ``acc`` contents (the aliased
     output IS the input buffer), which is exactly the overlap-add the
-    mid-tile part splits need.  Saves ~3 HBM touches of the part's output
-    window per part vs the out-buffer + ``y.at[o:o+v].add`` form: the
-    measured ~0.7 ms/part residual of the round-5 unrolled loop.
+    mid-tile part splits need.  Saves 2 HBM touches of the part's output
+    window per part vs the out-buffer + ``y.at[o:o+v].add`` form —
+    measured 16.62 → 16.31 ms/hop on the ×4-part bench (the win matches
+    the window-traffic arithmetic; docs/PERFORMANCE.md).  The ring path
+    measured the OPPOSITE (dev/exp_ringacc.py) and keeps out+add: its
+    buckets revisit every tile P times, so the first-visit load costs
+    more than the small window add it replaces.
     """
     e_pad, d = hi.shape
     n_chunks = chunk_tile.shape[0]

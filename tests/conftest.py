@@ -49,6 +49,7 @@ _FAST_TESTS = {
     "test_kernels.py::test_sym_norm_spmm_matches_scipy",
     "test_kernels.py::test_pallas_spmm_split_paths",
     "test_kernels.py::test_streaming_spmm_matches_segment",
+    "test_kernels.py::test_segment_reduce_acc_semantics",
     "test_kernels.py::test_out_of_core_matches_segment",
     "test_kernels.py::test_pallas_spmm_bf16_single_pass",
     "test_kernels.py::test_spmm_grad_flows",
