@@ -58,6 +58,7 @@ def main(argv=None):
                     help="persist the 2-D layout build here")
     ap.add_argument(
         "--src-blocks", default="auto",
+        type=lambda s: s if s == "auto" else int(s),
         help="column-block count; 'auto' (default) sizes block workspaces "
              "under the measured gather-rate cliff for the feature "
              "width/dtype")
@@ -109,10 +110,7 @@ def main(argv=None):
                          prop_steps=args.hops, dtype=x_host.dtype)
     model.pre_graph_op.propagate_out_of_core(
         ds.graph, x_host, hop_sink=sink, layout="2d",
-        src_blocks=2 if args.toy else (
-            args.src_blocks if args.src_blocks == "auto"
-            else int(args.src_blocks)
-        ),
+        src_blocks=2 if args.toy else args.src_blocks,
         max_edges_per_part=8 * 128 if args.toy else args.part_edges,
         layout_cache_dir=args.layout_cache,
         interpret=args.toy,

@@ -350,53 +350,65 @@ def chunk_layout_np(
     return out_src, out_dst, out_w, chunk_tile
 
 
-def _seg_kernel_single(chunk_tile_ref, dst_ref, hi_ref, out_ref):
-    """One-matmul variant for bf16 inputs (no lo half)."""
-    c = pl.program_id(0)
-    tile = chunk_tile_ref[c]
-    is_first = jnp.logical_or(c == 0, chunk_tile_ref[jnp.maximum(c - 1, 0)] != tile)
+def _make_seg_kernel(single: bool, accumulate: bool):
+    """Build one of the four segment-reduce kernel bodies.
 
-    @pl.when(is_first)
-    def _():
-        out_ref[:] = jnp.zeros_like(out_ref)
+    All four share the one-hot MXU reduction core; the two axes of
+    variation are static Python here so every variant still traces to a
+    straight-line kernel:
 
-    chunk = dst_ref.shape[-1]
-    tile_r = out_ref.shape[0]
-    local = dst_ref[0] - tile * tile_r
-    rows = jax.lax.broadcasted_iota(jnp.int32, (tile_r, chunk), 0)
-    onehot = (local == rows).astype(jnp.bfloat16)
-    out_ref[:] += jax.lax.dot_general(
-        onehot,
-        hi_ref[0],
-        dimension_numbers=(((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )
+    * ``single`` — bf16 features carry one message array (no lo half);
+      f32 fidelity does two MXU passes (hi + lo bf16 halves).
+    * ``accumulate`` — the streaming path aliases the caller's global
+      accumulator as the output and LOADS the live block on a tile's
+      first chunk instead of zeroing (overlap-add across parts); it also
+      carries an ``off`` scalar-prefetch operand consumed only by the
+      wrapper's index maps.  The ring path measured the opposite
+      preference and keeps the zero-init form (dev/exp_ringacc.py).
+    """
+
+    def kernel(*refs):
+        if accumulate:
+            ct_ref, _off_ref, *refs = refs  # off drives the index maps only
+        else:
+            ct_ref, *refs = refs
+        dst_ref, hi_ref = refs[0], refs[1]
+        lo_ref = None if single else refs[2]
+        acc_ref = refs[-2] if accumulate else None
+        out_ref = refs[-1]
+
+        c = pl.program_id(0)
+        tile = ct_ref[c]
+        is_first = jnp.logical_or(c == 0, ct_ref[jnp.maximum(c - 1, 0)] != tile)
+
+        @pl.when(is_first)
+        def _():
+            out_ref[:] = acc_ref[:] if accumulate else jnp.zeros_like(out_ref)
+
+        chunk = dst_ref.shape[-1]
+        tile_r = out_ref.shape[0]
+        local = dst_ref[0] - tile * tile_r  # (1, chunk)
+        rows = jax.lax.broadcasted_iota(jnp.int32, (tile_r, chunk), 0)
+        onehot = (local == rows).astype(jnp.bfloat16)  # (tile_r, chunk)
+
+        def mm(m):
+            return jax.lax.dot_general(
+                onehot,
+                m,
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+
+        upd = mm(hi_ref[0])
+        if not single:
+            upd = upd + mm(lo_ref[0])
+        out_ref[:] += upd
+
+    return kernel
 
 
-def _seg_kernel(chunk_tile_ref, dst_ref, hi_ref, lo_ref, out_ref):
-    c = pl.program_id(0)
-    tile = chunk_tile_ref[c]
-    is_first = jnp.logical_or(c == 0, chunk_tile_ref[jnp.maximum(c - 1, 0)] != tile)
-
-    @pl.when(is_first)
-    def _():
-        out_ref[:] = jnp.zeros_like(out_ref)
-
-    chunk = dst_ref.shape[-1]
-    tile_r = out_ref.shape[0]
-    local = dst_ref[0] - tile * tile_r  # (1, chunk)
-    rows = jax.lax.broadcasted_iota(jnp.int32, (tile_r, chunk), 0)
-    onehot = (local == rows).astype(jnp.bfloat16)  # (tile_r, chunk)
-
-    def mm(m):
-        return jax.lax.dot_general(
-            onehot,
-            m,
-            dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
-
-    out_ref[:] += mm(hi_ref[0]) + mm(lo_ref[0])
+_seg_kernel_single = _make_seg_kernel(single=True, accumulate=False)
+_seg_kernel = _make_seg_kernel(single=False, accumulate=False)
 
 
 @functools.partial(
@@ -465,57 +477,8 @@ def _segment_reduce_mxu(
     return out[:num_nodes]
 
 
-def _seg_kernel_single_acc(ct_ref, off_ref, dst_ref, hi_ref, acc_ref, out_ref):
-    """Accumulating single-matmul variant: the first chunk of a tile LOADS
-    the aliased accumulator block instead of zeroing, so part outputs land
-    in the global ``y`` in place (no separate out buffer + at[].add)."""
-    del off_ref  # consumed by the index maps only
-    c = pl.program_id(0)
-    tile = ct_ref[c]
-    is_first = jnp.logical_or(c == 0, ct_ref[jnp.maximum(c - 1, 0)] != tile)
-
-    @pl.when(is_first)
-    def _():
-        out_ref[:] = acc_ref[:]
-
-    chunk = dst_ref.shape[-1]
-    tile_r = out_ref.shape[0]
-    local = dst_ref[0] - tile * tile_r
-    rows = jax.lax.broadcasted_iota(jnp.int32, (tile_r, chunk), 0)
-    onehot = (local == rows).astype(jnp.bfloat16)
-    out_ref[:] += jax.lax.dot_general(
-        onehot,
-        hi_ref[0],
-        dimension_numbers=(((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )
-
-
-def _seg_kernel_acc(ct_ref, off_ref, dst_ref, hi_ref, lo_ref, acc_ref, out_ref):
-    del off_ref
-    c = pl.program_id(0)
-    tile = ct_ref[c]
-    is_first = jnp.logical_or(c == 0, ct_ref[jnp.maximum(c - 1, 0)] != tile)
-
-    @pl.when(is_first)
-    def _():
-        out_ref[:] = acc_ref[:]
-
-    chunk = dst_ref.shape[-1]
-    tile_r = out_ref.shape[0]
-    local = dst_ref[0] - tile * tile_r
-    rows = jax.lax.broadcasted_iota(jnp.int32, (tile_r, chunk), 0)
-    onehot = (local == rows).astype(jnp.bfloat16)
-
-    def mm(m):
-        return jax.lax.dot_general(
-            onehot,
-            m,
-            dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
-
-    out_ref[:] += mm(hi_ref[0]) + mm(lo_ref[0])
+_seg_kernel_single_acc = _make_seg_kernel(single=True, accumulate=True)
+_seg_kernel_acc = _make_seg_kernel(single=False, accumulate=True)
 
 
 @functools.partial(
@@ -883,10 +846,17 @@ def _streaming_scan(
     n_total = _round_up(num_nodes, TILE_R) + n_rows
     n_parts = int(stk.src.shape[0])
 
-    def produce(src, w, dst, ct):
+    def make_msgs(src, w):
+        # the message pipeline is perf-load-bearing (the f32-upcast gather
+        # decision lives here — see "Falsified alternatives" in
+        # docs/PERFORMANCE.md); both part-loop forms below must share it
         msgs = jnp.take(xp, src, axis=0) * w[:, None]
         hi = msgs.astype(jnp.bfloat16)
         lo = None if single else (msgs - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+        return hi, lo
+
+    def produce(src, w, dst, ct):
+        hi, lo = make_msgs(src, w)
         return _segment_reduce_mxu(
             hi, lo, dst, ct, num_nodes=n_rows, interpret=interpret
         )
@@ -897,19 +867,15 @@ def _streaming_scan(
         # aliases the global accumulator as its output and loads the live
         # block on first visit, so the per-part (n_rows, d_pad) out buffer
         # and the y.at[o:o+v].add read-modify-write never exist.  Round-5
-        # history: scan+dynamic windows 19.5 → static at[].add 15.5 →
-        # aliased accumulate (this form) ms/hop at 4 parts on the 5M-edge
-        # bench; the ~0.7 ms/part residual was those 3 extra HBM touches
-        # of the part window.
+        # history at 4 parts on the 5M-edge bench: scan + dynamic windows
+        # 20.3 → unrolled static at[].add windows 16.6 → aliased
+        # accumulate (this form) 16.3 ms/hop.  Most of the unroll win was
+        # launch + dynamic-slice overhead; the aliasing retires the
+        # remaining window out-buffer write and read-modify-add
+        # (~0.1 ms/part of HBM touches — measured, dev/exp_acc_alias.py).
         y = y0
         for i in range(n_parts):
-            msgs = jnp.take(xp, stk.src[i], axis=0) * stk.w[i][:, None]
-            hi = msgs.astype(jnp.bfloat16)
-            lo = (
-                None
-                if single
-                else (msgs - hi.astype(jnp.float32)).astype(jnp.bfloat16)
-            )
+            hi, lo = make_msgs(stk.src[i], stk.w[i])
             off = jnp.asarray([stk.tile_offset[i] // TILE_R], jnp.int32)
             y = _segment_reduce_mxu_acc(
                 hi, lo, stk.dst[i], stk.chunk_tile[i], y, off,

@@ -100,12 +100,22 @@ class NodeClassificationDist(BaseTask):
         # the chunked layout's (tile_rows, chunk) picker needs the feature
         # width to keep its VMEM bound honest at wide D; measure="auto"
         # settles wide-vs-128 block decisions by a real on-device A/B
-        # (seconds, once per task) instead of the cost model's margin
+        # (seconds, once per task) instead of the cost model's margin.
+        # Multi-PROCESS runs keep the deterministic model: a per-host A/B
+        # could settle close candidates differently under chip noise and
+        # the processes would then compile different static ring layouts
+        # (divergent shapes under shard_map = a hung collective).  The
+        # measured pipeline is whatever actually rides the ring: the
+        # precompute dtype when set, else the features' own dtype (bf16
+        # features take the single-pass kernel with a different
+        # gather/MXU balance than f32's hi/lo pair).
         kw = (
             {
                 "feat_dim": int(np.asarray(ds.x).shape[1]),
-                "feat_dtype": self._precompute_dtype,
-                "measure": "auto",
+                "feat_dtype": (
+                    self._precompute_dtype or np.asarray(ds.x).dtype
+                ),
+                "measure": "auto" if jax.process_count() == 1 else False,
             }
             if partition is partition_adj_chunked
             else {}
