@@ -76,6 +76,35 @@ class NodeClassificationDist(BaseTask):
 
     test_acc = property(lambda self: self._test_acc)
 
+    @staticmethod
+    def _chunked_partition_kwargs(x, precompute_dtype) -> dict:
+        """Layout-picker inputs for ``partition_adj_chunked``.
+
+        The (tile_rows, chunk) picker needs the feature width to keep its
+        VMEM bound honest at wide D, and ``measure="auto"`` settles
+        wide-vs-128 block decisions by a real on-device A/B (seconds, once
+        per task) instead of the cost model's margin.  Two invariants,
+        both round-5 review fixes:
+
+        * the measured pipeline is whatever actually rides the ring — the
+          precompute dtype when set, else the features' OWN dtype (bf16
+          features take the single-pass kernel, whose gather/MXU balance
+          differs from f32's hi/lo pair);
+        * multi-PROCESS runs keep the deterministic cost model: a
+          per-host A/B could settle close candidates differently under
+          chip noise, and the processes would then compile different
+          static ring layouts (divergent shapes under shard_map = a hung
+          collective).
+        """
+        # shape/dtype only — no np.asarray, which would round-trip a
+        # device-resident feature matrix through the host
+        xh = x if hasattr(x, "dtype") and hasattr(x, "shape") else np.asarray(x)
+        return {
+            "feat_dim": int(xh.shape[1]),
+            "feat_dtype": precompute_dtype or np.dtype(xh.dtype),
+            "measure": "auto" if jax.process_count() == 1 else False,
+        }
+
     def _execute(self) -> float:
         from sgl_tpu.parallel import (
             k_hop_propagate_dist,
@@ -97,26 +126,8 @@ class NodeClassificationDist(BaseTask):
         partition = partition_adj_chunked if on_tpu else partition_adj
         t0 = time.time()
         adj = model.pre_graph_op.construct_adj(ds.graph)
-        # the chunked layout's (tile_rows, chunk) picker needs the feature
-        # width to keep its VMEM bound honest at wide D; measure="auto"
-        # settles wide-vs-128 block decisions by a real on-device A/B
-        # (seconds, once per task) instead of the cost model's margin.
-        # Multi-PROCESS runs keep the deterministic model: a per-host A/B
-        # could settle close candidates differently under chip noise and
-        # the processes would then compile different static ring layouts
-        # (divergent shapes under shard_map = a hung collective).  The
-        # measured pipeline is whatever actually rides the ring: the
-        # precompute dtype when set, else the features' own dtype (bf16
-        # features take the single-pass kernel with a different
-        # gather/MXU balance than f32's hi/lo pair).
         kw = (
-            {
-                "feat_dim": int(np.asarray(ds.x).shape[1]),
-                "feat_dtype": (
-                    self._precompute_dtype or np.asarray(ds.x).dtype
-                ),
-                "measure": "auto" if jax.process_count() == 1 else False,
-            }
+            self._chunked_partition_kwargs(ds.x, self._precompute_dtype)
             if partition is partition_adj_chunked
             else {}
         )

@@ -477,6 +477,36 @@ def test_partition_chunked_pinned_tile_rows_never_typeerrors():
     assert dadj.tile_rows == 2048
 
 
+def test_dist_task_chunked_partition_kwargs(monkeypatch):
+    """The dist task's layout-picker inputs (round-5 review fixes): the
+    measured pipeline dtype is the one that actually rides the ring
+    (precompute dtype when set, else the features' own dtype), and
+    multi-PROCESS runs never measure — a per-host A/B under chip noise
+    could compile divergent static ring layouts across processes."""
+    import ml_dtypes
+    from sgl_tpu.tasks.node_classification_dist import NodeClassificationDist
+
+    kwargs = NodeClassificationDist._chunked_partition_kwargs
+    x32 = np.zeros((16, 8), np.float32)
+    xbf = x32.astype(ml_dtypes.bfloat16)
+
+    kw = kwargs(x32, None)
+    assert kw == {
+        "feat_dim": 8, "feat_dtype": np.dtype(np.float32), "measure": "auto",
+    }
+    # bf16 features without an explicit precompute dtype ride the ring as
+    # bf16 (single-pass kernel) — the A/B must time that pipeline
+    assert kwargs(xbf, None)["feat_dtype"] == ml_dtypes.bfloat16
+    # an explicit precompute dtype wins regardless of the input dtype
+    assert kwargs(x32, jnp.bfloat16)["feat_dtype"] == jnp.bfloat16
+    # device arrays contribute shape/dtype without a host round-trip
+    # (jnp arrays expose both; the helper must not np.asarray them)
+    assert kwargs(jnp.zeros((4, 8), jnp.float32), None)["feat_dim"] == 8
+
+    monkeypatch.setattr(jax, "process_count", lambda: 2)
+    assert kwargs(x32, None)["measure"] is False
+
+
 def test_two_process_cluster():
     """VERDICT r4 #2: REAL multi-process execution of the distributed
     runtime.  Launches two OS processes, each with 4 virtual CPU devices,
